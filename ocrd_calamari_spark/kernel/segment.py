@@ -1,0 +1,128 @@
+"""DOM segmentation: html str → ordered candidate text blocks.
+
+Analogue of the reference's page segmentation walk
+(ocrd_calamari/recognize.py:125-146): ``get_AllRegions(classes=["Text"])`` →
+``region.get_TextLine()`` with image crops per segment.  Here the "regions"
+are block-level DOM elements and the "crop" is offset bookkeeping into the
+decoded text.
+
+  - non-Text region classes dropped  ≈ DROP_TAGS subtrees (F1)
+  - document order preserved         ≈ XML iteration order (O3): blocks are
+    emitted in order of their opening tag and carry an explicit ``pos``
+  - whitespace chars are mapped 1:1 to " " but runs are NOT collapsed —
+    normalization happens later on positions, mirroring the reference's
+    decision to post-process positions, not the sentence
+    (recognize.py:228-235)
+
+Built on the stdlib ``html.parser`` (tolerant of malformed markup; poisoned
+payloads that still defeat it surface as error rows upstream).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Subtrees that are never content — the analogue of filtering region classes
+# to ["Text"] (reference recognize.py:125).
+DROP_TAGS = frozenset(
+    "script style nav header footer aside noscript template form iframe "
+    "svg button select option object embed head".split()
+)
+
+# Elements that open a new candidate block (≈ TextLine granularity).
+BLOCK_TAGS = frozenset(
+    "p div article section main li h1 h2 h3 h4 h5 h6 blockquote pre td th "
+    "dd dt figcaption summary".split()
+)
+
+# Void elements html.parser may report via handle_starttag.
+_VOID = frozenset("br hr img input meta link area base col source track wbr".split())
+
+_WS_MAP = str.maketrans({"\n": " ", "\t": " ", "\r": " ", "\f": " ", "\v": " "})
+
+
+@dataclass
+class Block:
+    """One candidate text block with the features the extractors score."""
+
+    pos: int  # document order (O3: explicit position, no implicit order)
+    tag: str
+    depth: int  # DOM depth at the opening tag
+    chunks: list = field(default_factory=list)
+    n_link_chars: int = 0  # chars inside <a> subtrees
+    n_tags: int = 0  # descendant element count (density denominator)
+
+    @property
+    def raw_text(self) -> str:
+        """Text with each whitespace char mapped to ' ' (runs preserved)."""
+        return "".join(self.chunks)
+
+    def visible_len(self) -> int:
+        return len(self.raw_text.replace(" ", ""))
+
+
+class _Segmenter(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._stack: list[str] = []  # open non-void tags
+        self._block_stack: list[Block] = []  # open candidate blocks
+        self._drop_depth = 0  # >0 ⇒ inside a dropped subtree
+        self._anchor_depth = 0
+
+    # -- tag events ---------------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID:
+            if self._drop_depth == 0 and self._block_stack:
+                self._block_stack[-1].n_tags += 1
+            return
+        if tag in DROP_TAGS or self._drop_depth > 0:
+            self._drop_depth += 1
+            self._stack.append(tag)
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+        if self._block_stack:
+            self._block_stack[-1].n_tags += 1
+        if tag in BLOCK_TAGS:
+            blk = Block(pos=len(self.blocks), tag=tag, depth=len(self._stack))
+            self.blocks.append(blk)
+            self._block_stack.append(blk)
+        self._stack.append(tag)
+
+    def handle_endtag(self, tag):
+        if tag in _VOID:
+            return
+        # pop to the matching open tag if present (tolerates misnesting)
+        if tag not in self._stack:
+            return
+        while self._stack:
+            top = self._stack.pop()
+            if self._drop_depth > 0:
+                self._drop_depth -= 1
+            else:
+                if top == "a" and self._anchor_depth > 0:
+                    self._anchor_depth -= 1
+                if top in BLOCK_TAGS and self._block_stack:
+                    self._block_stack.pop()
+            if top == tag:
+                break
+
+    # -- text events --------------------------------------------------------
+    def handle_data(self, data):
+        if self._drop_depth > 0 or not self._block_stack or not data:
+            return
+        text = data.translate(_WS_MAP)
+        blk = self._block_stack[-1]
+        blk.chunks.append(text)
+        if self._anchor_depth > 0:
+            blk.n_link_chars += len(text.replace(" ", ""))
+
+
+def segment(html_text: str) -> list[Block]:
+    """Parse html → candidate blocks in document order (may be empty)."""
+    parser = _Segmenter()
+    parser.feed(html_text)
+    parser.close()
+    return [b for b in parser.blocks if b.visible_len() > 0]

@@ -1,0 +1,262 @@
+"""Spark orchestration: read → prune → salt-repartition → mapInPandas → write.
+
+The whole reference concurrency layer (ocrd_calamari/recognize.py:400-703 —
+mp queues, fill locks, dummy batches, spawn contexts) is replaced by this
+declarative plan; Spark owns batching, backpressure and worker lifecycle
+(SURVEY.md §3.4, §4).
+
+Scale features (BASELINE.json north_rule):
+  - partition pruning predicates on ``warc_ts`` reach the scan
+  - deterministic host-salted repartition for Zipf-skewed hosts
+    (salt from xxhash64(url), never rand() — resume must be stable)
+  - per-partition lineage (snapshot_id, file, part_id) on every output row
+  - chunked checkpoint manifest → kill-and-resume without duplicate work
+  - docs/sec + failure counts from the written output (exact, replayable)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocrd_calamari_spark.config import ExtractConfig
+from ocrd_calamari_spark.kernel.extract import extract_batch
+from ocrd_calamari_spark.schema import KERNEL_INPUT_COLS, OUTPUT_SCHEMA
+
+# ---------------------------------------------------------------------------
+# Source (S1/S2): Iceberg table in prod, parquet locally.  Iceberg gives
+# snapshot pinning + partition pruning natively; the parquet path mirrors it
+# closely enough for tests (no Iceberg jars in this sandbox).
+# ---------------------------------------------------------------------------
+def read_pages(
+    spark: SparkSession,
+    source: str,
+    snapshot_id: int | None = None,
+    since=None,
+    until=None,
+) -> DataFrame:
+    """Load the pages table with snapshot pinning + time-partition pruning.
+
+    ``source``: ``iceberg:<catalog.db.table>`` or a parquet path.
+    """
+    if source.startswith("iceberg:"):
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        df = reader.load(source[len("iceberg:"):])
+    else:
+        df = spark.read.parquet(source)
+    # Partition predicates: Catalyst pushes these to the scan
+    # (days(warc_ts) partitioning on the Iceberg side).
+    if since is not None:
+        df = df.where(F.col("warc_ts") >= F.lit(since))
+    if until is not None:
+        df = df.where(F.col("warc_ts") < F.lit(until))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Extraction plan
+# ---------------------------------------------------------------------------
+DEFAULT_SALT = 16  # sub-buckets per host for skew spreading
+
+
+def _map_fn_with_lineage(cfg: ExtractConfig, snapshot_id: int | None):
+    """mapInPandas fn: extraction + lineage passthrough.
+
+    Lineage columns (_src_file, _part_id) ride along the input batch and are
+    re-attached to the output rows — the keyed re-association the reference
+    does through a shared Manager dict (recognize.py:662-693) is free here
+    because input and output of a batch stay aligned per url.
+    """
+
+    def _fn(batches):
+        for pdf in batches:
+            out = extract_batch(pdf, cfg)
+            files = pdf["_src_file"].values if "_src_file" in pdf else [None] * len(pdf)
+            parts = pdf["_part_id"].values if "_part_id" in pdf else [None] * len(pdf)
+            out["lineage"] = [
+                {
+                    "snapshot_id": snapshot_id,
+                    "file": f,
+                    "part_id": int(p) if p is not None else None,
+                }
+                for f, p in zip(files, parts)
+            ]
+            yield out
+
+    return _fn
+
+
+def with_part_id(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Deterministic work-unit id: pmod(xxhash64(url), n_buckets).
+
+    JVM-side xxhash64 — stable across runs/retries, the resume key.
+    """
+    return df.withColumn(
+        "_part_id", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def extract_df(
+    df: DataFrame,
+    cfg: ExtractConfig | None = None,
+    *,
+    num_partitions: int | None = None,
+    salt: int = DEFAULT_SALT,
+    snapshot_id: int | None = None,
+    with_lineage: bool = True,
+    repartition: bool = True,
+) -> DataFrame:
+    """The core logical plan: pages DataFrame → extraction output DataFrame.
+
+    Column-prunes to exactly the kernel inputs (+ lineage cols) before the
+    UDF so the scan reads only url/html/text/lang; salts Zipf-skewed hosts
+    deterministically before repartitioning.
+    """
+    cfg = cfg or ExtractConfig()
+    cols = list(KERNEL_INPUT_COLS)
+    sel = df
+    if with_lineage:
+        if "_part_id" not in sel.columns:
+            sel = with_part_id(sel, 1 << 14)
+        sel = sel.withColumn("_src_file", F.col("_metadata.file_path"))
+        cols = cols + ["_src_file", "_part_id"]
+    sel = sel.select(*cols)
+    if repartition:
+        host = F.parse_url(F.col("url"), F.lit("HOST"))
+        salt_col = F.pmod(F.xxhash64(F.col("url")), F.lit(salt))
+        if num_partitions:
+            sel = sel.repartition(num_partitions, host, salt_col)
+        else:
+            sel = sel.repartition(host, salt_col)
+    return sel.mapInPandas(_map_fn_with_lineage(cfg, snapshot_id), OUTPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint manifest + chunked resume (north_rule: "resumable from
+# checkpoint with per-partition lineage").  One chunk = a set of _part_id
+# buckets, written to its own partition dir and committed to the manifest
+# only after the write succeeds; a restart deletes uncommitted chunk dirs
+# and processes only the remaining buckets — no duplicate work.
+# ---------------------------------------------------------------------------
+class Manifest:
+    def __init__(self, root: str):
+        self.dir = os.path.join(root, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def completed(self) -> dict:
+        """chunk_id → manifest record."""
+        out = {}
+        for name in sorted(os.listdir(self.dir)):
+            if name.startswith("chunk_") and name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    rec = json.load(f)
+                out[rec["chunk_id"]] = rec
+        return out
+
+    def commit(self, rec: dict) -> None:
+        path = os.path.join(self.dir, "chunk_%05d.json" % rec["chunk_id"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, path)  # atomic on POSIX ≈ Iceberg snapshot commit
+
+
+def run_extraction(
+    spark: SparkSession,
+    source: str,
+    out_dir: str,
+    cfg: ExtractConfig | None = None,
+    *,
+    n_buckets: int = 64,
+    n_chunks: int = 4,
+    num_partitions: int | None = None,
+    snapshot_id: int | None = None,
+    since=None,
+    until=None,
+    stop_after_chunks: int | None = None,  # test hook: simulate a kill
+) -> dict:
+    """Resumable chunked extraction job.  Returns a metrics dict
+    (docs/sec, failure counts — BASELINE.json north_star)."""
+    import shutil
+
+    cfg = cfg or ExtractConfig()
+    manifest = Manifest(out_dir)
+    done = manifest.completed()
+    done_parts = {p for rec in done.values() for p in rec["part_ids"]}
+
+    data_dir = os.path.join(out_dir, "data")
+    # clean any dir not committed to the manifest (died mid-write)
+    if os.path.isdir(data_dir):
+        committed = {"chunk=%d" % cid for cid in done}
+        for name in os.listdir(data_dir):
+            if name.startswith("chunk=") and name not in committed:
+                shutil.rmtree(os.path.join(data_dir, name))
+
+    pages = read_pages(spark, source, snapshot_id=snapshot_id, since=since, until=until)
+    pages = with_part_id(pages, n_buckets)
+
+    remaining = [p for p in range(n_buckets) if p not in done_parts]
+    chunk_size = max(1, -(-len(remaining) // n_chunks)) if remaining else 1
+    groups = [remaining[i:i + chunk_size] for i in range(0, len(remaining), chunk_size)]
+
+    t0 = time.monotonic()
+    n_rows_total = 0
+    chunks_done = 0
+    next_chunk_id = (max(done) + 1) if done else 0
+    for gi, group in enumerate(groups):
+        if stop_after_chunks is not None and chunks_done >= stop_after_chunks:
+            break
+        chunk_id = next_chunk_id + gi
+        subset = pages.where(F.col("_part_id").isin(group))
+        result = extract_df(
+            subset, cfg, num_partitions=num_partitions, snapshot_id=snapshot_id
+        )
+        chunk_dir = os.path.join(data_dir, "chunk=%d" % chunk_id)
+        result.write.mode("overwrite").parquet(chunk_dir)
+        # cheap committed-output scan for exact counters (column-pruned)
+        counts = (
+            spark.read.parquet(chunk_dir)
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.col("error").isNotNull().cast("long")).alias("failed"),
+                F.sum(F.col("overwrote").cast("long")).alias("overwrote"),
+                F.sum(F.col("raw_charset").cast("long")).alias("raw"),
+            )
+            .collect()[0]
+        )
+        manifest.commit(
+            {
+                "chunk_id": chunk_id,
+                "part_ids": group,
+                "snapshot_id": snapshot_id,
+                "rows": counts["rows"],
+                "failed": counts["failed"] or 0,
+                "overwrote": counts["overwrote"] or 0,
+                "raw_charset": counts["raw"] or 0,
+            }
+        )
+        n_rows_total += counts["rows"]
+        chunks_done += 1
+
+    elapsed = time.monotonic() - t0
+    all_recs = manifest.completed().values()
+    return {
+        "rows_this_run": n_rows_total,
+        "chunks_this_run": chunks_done,
+        "elapsed_sec": elapsed,
+        "docs_per_sec": (n_rows_total / elapsed) if elapsed > 0 else None,
+        "rows_total": sum(r["rows"] for r in all_recs),
+        "failed_total": sum(r["failed"] for r in all_recs),
+        "overwrote_total": sum(r["overwrote"] for r in all_recs),
+        "raw_charset_total": sum(r["raw_charset"] for r in all_recs),
+        "complete": len({p for r in all_recs for p in r["part_ids"]}) == n_buckets,
+    }
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "data"))

@@ -1,0 +1,107 @@
+"""End-to-end golden tests: Spark pipeline output must be byte-identical per
+url to the frozen single-process oracle (the kernel run outside Spark) —
+BASELINE.json north_rule correctness bar, mirroring the reference's
+end-to-end fixture runs (test/test_recognize.py)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocrd_calamari_spark.config import ExtractConfig
+from ocrd_calamari_spark.kernel.extract import extract_batch
+from ocrd_calamari_spark.pipeline import extract_df, read_pages
+
+
+@pytest.fixture(scope="module")
+def oracle(pages_pdf):
+    """Frozen oracle: kernel run single-process, outside Spark."""
+    return extract_batch(pages_pdf, ExtractConfig()).set_index("url")
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, pages_parquet):
+    df = read_pages(spark, pages_parquet)
+    out = extract_df(df, ExtractConfig()).toPandas()
+    return out.set_index("url")
+
+
+class TestGolden:
+    def test_row_count_preserved(self, spark_result, pages_pdf):
+        assert len(spark_result) == len(pages_pdf)
+
+    def test_byte_identical_text_per_url(self, spark_result, oracle):
+        # THE correctness contract: byte-identical extracted text per url
+        joined = oracle.join(spark_result, lsuffix="_o", rsuffix="_s")
+        ok_mask = joined["error_o"].isna()
+        mismatches = joined[ok_mask & (joined["text_o"] != joined["text_s"])]
+        assert len(mismatches) == 0, mismatches.index.tolist()[:5]
+
+    def test_conf_and_counts_match(self, spark_result, oracle):
+        joined = oracle.join(spark_result, lsuffix="_o", rsuffix="_s")
+        ok = joined[joined["error_o"].isna()]
+        assert (ok["conf_o"] == ok["conf_s"]).all()
+        assert (ok["n_blocks_o"] == ok["n_blocks_s"]).all()
+
+    def test_error_rows_match(self, spark_result, oracle):
+        joined = oracle.join(spark_result, lsuffix="_o", rsuffix="_s")
+        assert (joined["error_o"].isna() == joined["error_s"].isna()).all()
+
+    def test_counters_match_case_counts(self, spark_result, pages_pdf):
+        cases = pages_pdf.set_index("url")["case"]
+        joined = spark_result.join(cases)
+        # failure count == poison count (≈ ignore_errors accounting)
+        assert (joined["error"].notna()).sum() == (cases == "poison").sum()
+        # overwrote == overwrite-case count (≈ "already contained text results")
+        assert joined["overwrote"].sum() == (cases == "overwrite").sum()
+        # raw_charset == raw_charset-case count (≈ "Using raw image")
+        assert joined["raw_charset"].sum() == (cases == "raw_charset").sum()
+
+    def test_unicode_marker_survives(self, spark_result, pages_pdf):
+        # ≈ test_recognize.py:37,60 — long-s token must appear in output
+        cases = pages_pdf.set_index("url")["case"]
+        uni = spark_result.join(cases)
+        uni = uni[uni["case"] == "unicode"]
+        assert len(uni) > 0
+        assert uni["text"].str.contains("verſchuldeten").all()
+
+    def test_block_spans_slice_document_text(self, spark_result):
+        for url, row in spark_result.iterrows():
+            if row["error"] is not None or row["blocks"] is None:
+                continue
+            blocks = list(row["blocks"])
+            assert "\n".join(b["text"] for b in blocks) == row["text"]
+            for b in blocks:
+                assert row["text"][b["start"]:b["end"]] == b["text"]
+
+    def test_lineage_populated(self, spark_result):
+        ln = spark_result["lineage"].iloc[0]
+        assert ln["file"] is not None and ln["part_id"] is not None
+
+
+class TestConfigMatrix:
+    """≈ the reference's ``/`pageparallel`/... fixture matrix
+    (test/conftest.py:11-13): results invariant to parallelism."""
+
+    def test_partitioning_invariance(self, spark, pages_parquet, oracle):
+        df = read_pages(spark, pages_parquet)
+        out1 = (
+            extract_df(df.repartition(1), ExtractConfig(), repartition=False)
+            .select("url", "text").toPandas().set_index("url").sort_index()
+        )
+        out17 = (
+            extract_df(df.repartition(17), ExtractConfig(), repartition=False)
+            .select("url", "text").toPandas().set_index("url").sort_index()
+        )
+        pd.testing.assert_frame_equal(out1, out17)
+
+    def test_word_level_through_spark(self, spark, pages_parquet):
+        df = read_pages(spark, pages_parquet).limit(40)
+        out = extract_df(df, ExtractConfig(textequiv_level="word")).toPandas()
+        any_words = False
+        for _, row in out.iterrows():
+            if row["error"] is not None or not row["words"]:
+                continue
+            any_words = True
+            for w in row["words"]:
+                assert row["text"][w["start"]:w["end"]] == w["text"]
+        assert any_words

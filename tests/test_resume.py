@@ -1,0 +1,60 @@
+"""Checkpoint/resume: kill after k chunks, restart, outputs identical and no
+duplicate work (BASELINE.json north_rule: 'resumable from checkpoint with
+per-partition lineage')."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocrd_calamari_spark.config import ExtractConfig
+from ocrd_calamari_spark.pipeline import Manifest, read_output, run_extraction
+
+
+@pytest.fixture(scope="module")
+def out_single(spark, pages_parquet, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("single"))
+    metrics = run_extraction(spark, pages_parquet, d, n_buckets=16, n_chunks=4)
+    assert metrics["complete"]
+    return d, metrics
+
+
+class TestResume:
+    def test_kill_and_resume_identical(self, spark, pages_parquet, out_single,
+                                       tmp_path_factory):
+        d2 = str(tmp_path_factory.mktemp("resumed"))
+        # run 1: killed after 2 of 4 chunks
+        m1 = run_extraction(spark, pages_parquet, d2, n_buckets=16, n_chunks=4,
+                            stop_after_chunks=2)
+        assert m1["chunks_this_run"] == 2 and not m1["complete"]
+        # run 2: resumes remaining buckets only
+        m2 = run_extraction(spark, pages_parquet, d2, n_buckets=16, n_chunks=4)
+        assert m2["complete"]
+        # no duplicate work: resumed run processed only the remainder
+        assert m1["rows_this_run"] + m2["rows_this_run"] == m2["rows_total"]
+
+        d1, m_single = out_single
+        a = (read_output(spark, d1).select("url", "text", "conf")
+             .toPandas().set_index("url").sort_index())
+        b = (read_output(spark, d2).select("url", "text", "conf")
+             .toPandas().set_index("url").sort_index())
+        assert a.equals(b)
+
+    def test_no_duplicate_urls(self, spark, out_single):
+        d, _ = out_single
+        out = read_output(spark, d)
+        assert out.count() == out.select("url").distinct().count()
+
+    def test_manifest_partition_lineage(self, spark, out_single):
+        d, _ = out_single
+        recs = Manifest(d).completed()
+        parts = sorted(p for r in recs.values() for p in r["part_ids"])
+        assert parts == list(range(16))  # every bucket exactly once
+        out = read_output(spark, d)
+        with_lineage = out.where(F.col("lineage.file").isNotNull()).count()
+        assert with_lineage == out.count()
+
+    def test_metrics_counters(self, out_single):
+        _, metrics = out_single
+        assert metrics["docs_per_sec"] is None or metrics["docs_per_sec"] > 0
+        assert metrics["failed_total"] > 0  # poison fixtures present
+        assert metrics["overwrote_total"] > 0
+        assert metrics["raw_charset_total"] > 0
