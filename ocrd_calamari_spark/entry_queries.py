@@ -1,0 +1,548 @@
+"""Query registry backing __spark_entry__.py (driver correctness harness).
+
+Each query is implemented Spark-first (DataFrame API / built-in functions)
+and, where SQL-expressible, paired with a DuckDB oracle string over the same
+parquet views.  Column names AND types are aligned on both sides (explicit
+casts — Spark length() is INT, DuckDB's is BIGINT).
+
+Floating-point parity strategy: money sums go through DECIMAL(18,2) (exact,
+order-independent) then cast to double; averages are computed as exact-sum /
+count; similarity scores are rounded after ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ocrd_calamari_spark.config import ExtractConfig
+from ocrd_calamari_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_dedup,
+    simhash_near_dupes,
+)
+from ocrd_calamari_spark.functions.simsearch import brute_force_topk, lsh_topk
+from ocrd_calamari_spark.functions.text import (
+    lang_id_sql,
+    quality_score_sql,
+    token_count_sql,
+)
+from ocrd_calamari_spark.pipeline import extract_df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic pages from the documents table — deterministic, Spark-side
+# (format via concat of literals; no Python row loop).
+# ---------------------------------------------------------------------------
+_PAGE_HEAD = (
+    '<html><head><meta charset="utf-8"><title>doc</title></head><body>'
+    '<header><div class="logo">Example</div><nav><ul>'
+    + "".join(f'<li><a href="/s/{k}">menu item {k} padding</a></li>' for k in range(6))
+    + "</ul></nav></header>"
+    '<aside><p><a href="/ad">sponsored offer</a> <a href="/ad2">another ad</a></p></aside>'
+)
+_PAGE_FOOT = (
+    '<footer><p><a href="/imprint">Imprint</a> · <a href="/privacy">Privacy</a>'
+    "</p></footer></body></html>"
+)
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each documents.text row into a boilerplated HTML page —
+    the deterministic extraction workload over driver-provided data."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_PAGE_HEAD),
+        F.lit("<article><h1>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p></article>"),
+        F.lit(_PAGE_FOOT),
+    ).cast("binary")
+    return docs.select(
+        F.concat(
+            F.lit("https://host"),
+            F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.expr(
+            "timestamp '2024-06-01 00:00:00' + make_interval(0,0,0, cast(doc_id % 30 as int),0,0,0)"
+        ).alias("warc_ts"),
+        html.alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extraction-family queries (non-SQL-expressible → rows-only checks)
+# ---------------------------------------------------------------------------
+def q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = extract_df(
+        pages_from_documents(spark, sf_dir),
+        ExtractConfig(),
+        with_lineage=False,
+        repartition=False,
+    )
+    return out.select(
+        "url", "text", "conf", "n_blocks", "error"
+    ).orderBy("url")
+
+
+def q_extract_word_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = extract_df(
+        pages_from_documents(spark, sf_dir),
+        ExtractConfig(textequiv_level="word"),
+        with_lineage=False,
+        repartition=False,
+    )
+    # explode word spans; verify invariant text[start:end]==word JVM-side
+    w = out.where(F.col("error").isNull()).select(
+        "url", "text", F.explode_outer("words").alias("w")
+    )
+    return w.select(
+        "url",
+        F.col("w.word_id").alias("word_id"),
+        F.col("w.start").alias("start"),
+        F.col("w.end").alias("end"),
+        F.col("w.text").alias("word_text"),
+        (
+            F.expr("substring(text, w.start + 1, w.end - w.start)")
+            == F.col("w.text")
+        ).alias("span_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operators (SQL-expressible, DuckDB-oracled)
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → hash agg (map-side partial)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    g = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sbp"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("_sdp"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.round(F.col("_sq").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
+        F.round(F.col("_sbp").cast("double") / F.col("count_order"), 4).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F4 analogue: early filter + projection (pushdown-friendly)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where((F.col("lang") == "en") & F.col("n_chars").between(100, 400))
+        .select("doc_id", "n_chars", "source")
+    )
+
+
+FILTER_PROJECT_SQL = """
+SELECT doc_id, n_chars, source FROM documents
+WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
+"""
+
+
+def q_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/O1 analogue: ranked-desc within partition, top-k."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "doc_id", "n_chars", "rn")
+    )
+
+
+TOPK_SQL = """
+SELECT lang, doc_id, n_chars, rn FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 analogue: cumulative offsets as running sum per key."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join (the fused-votes join shape, SURVEY.md §2.3)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_REVENUE_SQL = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — the golden-comparison shape (SURVEY.md §2.7)."""
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+"""
+
+
+def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3 analogue: order-sensitive hierarchical concat (separator-exact),
+    done as nested-array aggregation — collect, sort by explicit position,
+    then join with the exact separator (no implicit order anywhere)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") < 30)
+        .select("lang", "doc_id", F.substring("text", 1, 20).alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "t"))),
+                    lambda s: s["t"],
+                ),
+            ).alias("concat_text"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORDERED_CONCAT_SQL = """
+SELECT lang,
+       string_agg(t, chr(10) ORDER BY doc_id) AS concat_text,
+       COUNT(*) AS n_docs
+FROM (SELECT lang, doc_id, substr(text, 1, 20) AS t FROM documents WHERE doc_id < 30)
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup fingerprints: md5-based hash-groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 16).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT substr(md5(text), 1, 16) AS fp, COUNT(*) AS n
+FROM documents GROUP BY fp
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"cast({token_count_sql('text')} as bigint)").alias("n_tokens"),
+        F.col("n_chars"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id, CAST({token_count_sql('text')} AS BIGINT) AS n_tokens, n_chars
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.expr(quality_score_sql("text")).alias("quality")
+    )
+
+
+QUALITY_SQL = f"""
+SELECT doc_id, {quality_score_sql('text')} AS quality FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.expr(lang_id_sql("text")).alias("lang_pred")
+    )
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counting via lag + gap flags (the stateful-streaming shape,
+    run in batch)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg((F.sum("brk") + 1).cast("bigint").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (streaming shape, batch execution)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (similarity-search baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(sim, 4) AS cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup queries (approximate / hash-algorithm-specific → rows-only).
+# Deterministic near-dups are injected by unioning mutated copies.
+# ---------------------------------------------------------------------------
+def _with_injected_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.where(F.col("doc_id") < 40)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+        )
+    )
+    return d.unionByName(dups)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_injected_dups(spark, sf_dir)
+    pairs = minhash_dedup(corpus, threshold=0.7)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_injected_dups(spark, sf_dir)
+    return simhash_near_dupes(corpus, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dups)
+    return exact_duplicates(corpus).orderBy("fp")
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, k=10, dim=64, n_planes=6)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+QUERIES = {
+    # extraction family (rows-only)
+    "extract_pages": q_extract_pages,
+    "extract_word_spans": q_extract_word_spans,
+    # relational, oracled
+    "q1_pricing_summary": q1_pricing_summary,
+    "filter_project": q_filter_project,
+    "topk_per_lang": q_topk_per_lang,
+    "running_total": q_running_total,
+    "join_revenue": q_join_revenue,
+    "customers_without_orders": q_customers_without_orders,
+    "ordered_concat": q_ordered_concat,
+    "exact_dedup": q_exact_dedup,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "sessionize": q_sessionize,
+    "hourly_windows": q_hourly_windows,
+    "cosine_topk": q_cosine_topk,
+    # dedup / ann (rows-only)
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "exact_dup_groups": q_exact_dup_groups,
+    "lsh_ann": q_lsh_ann,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "filter_project": FILTER_PROJECT_SQL,
+    "topk_per_lang": TOPK_SQL,
+    "running_total": RUNNING_TOTAL_SQL,
+    "join_revenue": JOIN_REVENUE_SQL,
+    "customers_without_orders": ANTI_JOIN_SQL,
+    "ordered_concat": ORDERED_CONCAT_SQL,
+    "exact_dedup": EXACT_DEDUP_SQL,
+    "token_stats": TOKEN_STATS_SQL,
+    "quality_scores": QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
+    "sessionize": SESSIONIZE_SQL,
+    "hourly_windows": HOURLY_SQL,
+    "cosine_topk": COSINE_TOPK_SQL,
+}

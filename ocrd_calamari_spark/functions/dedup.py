@@ -1,0 +1,234 @@
+"""Deduplication at corpus scale: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Scale design: every stage is a composition of built-in DataFrame ops —
+shingling/hashing via higher-order functions (JVM, codegen), candidate
+generation via band-bucket shuffles that only move (key, id) pairs, and the
+quadratic verify step restricted to LSH candidate pairs.  No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocrd_calamari_spark.functions.text import fingerprint
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy (map-side partial agg; only hashes shuffle).
+# ---------------------------------------------------------------------------
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (fp, n_dups, doc_ids)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def distinct_by_text(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per identical-text group — the
+    standard exact-dedup pass (shuffles only (fp, id))."""
+    keep = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="leftsemi")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash signatures — pure higher-order functions.
+# ---------------------------------------------------------------------------
+def word_shingles(text_col, k: int = 3):
+    """Array of k-word shingles (hashed to i64 so only 8B/shingle moves)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.split(F.trim(F.lower(c)), r"\s+")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, k)))
+    )
+
+
+def minhash_signature(shingles_col, n_hashes: int = 64):
+    """MinHash signature: per hash-seed j, min over shingles of
+    xxhash64(shingle, j).  Seeds are literal ints → deterministic."""
+    c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    return F.array(
+        *[F.array_min(F.transform(c, lambda s: F.xxhash64(s, F.lit(j))))
+          for j in range(n_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH.
+
+    shingle → minhash → split signature into ``bands`` bands → band-key
+    bucket join.  Only (band_key, id) pairs shuffle; the O(n²) blowup is
+    confined to same-bucket groups (self-join on band_key with id< id).
+    """
+    rows = n_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col),
+            minhash_signature(word_shingles(text_col, shingle_k), n_hashes).alias("sig"),
+        )
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice(F.col("sig"), b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ))
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard (array_intersect /
+    array_union on hashed shingle sets) — broadcast-sized candidate list
+    joins back to shingles, quadratic work only on candidates."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact Jaccard."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands)
+    return ngram_jaccard_pairs(df, cands, id_col, text_col, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit signature; near-dups = small Hamming distance.
+# ---------------------------------------------------------------------------
+def simhash(text_col: str) -> "F.Column":
+    """64-bit SimHash from token hashes, entirely in JVM expressions.
+
+    Single pass over the token-hash array: the fold accumulates 64 signed
+    bit-sums (+1 if bit i of the token hash is set, else -1), the finish
+    lambda packs sign bits into one i64.  Written as a SQL expression
+    because shiftright with a *column* shift amount is SQL-only.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          transform(array_distinct(split(trim(lower({text_col})), ' +')),
+                    t -> xxhash64(t)),
+          array_repeat(cast(0 as bigint), 64),
+          (acc, h) -> zip_with(acc, sequence(0, 63),
+                               (a, i) -> a + (shiftright(h, i) & 1) * 2 - 1),
+          acc -> aggregate(
+                   zip_with(acc, sequence(0, 63),
+                            (s, i) -> if(s > 0, shiftleft(cast(1 as bigint), i),
+                                         cast(0 as bigint))),
+                   cast(0 as bigint), (x, y) -> x | y)
+        )
+        """
+    )
+
+
+def simhash_near_dupes(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k.
+
+    Blocking: split the 64-bit signature into 4 × 16-bit chunks; any pair
+    within Hamming ≤ 3 shares at least one exact chunk (pigeonhole) → join
+    per chunk, verify with bit_count(xor)."""
+    sigs = df.select(F.col(id_col), simhash(text_col).alias("sig"))
+    # shiftright with a column shift amount is SQL-only → expr
+    chunks = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), i -> struct("
+                "i as chunk_no, shiftright(sig, i * 16) & 65535 as chunk))"
+            )
+        ).alias("c"),
+    ).select(id_col, "sig", F.col("c.chunk_no").alias("chunk_no"),
+             F.col("c.chunk").alias("chunk"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk_no") == F.col("r.chunk_no"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.sig").bitwiseXOR(F.col("r.sig"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

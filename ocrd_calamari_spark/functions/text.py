@@ -1,0 +1,124 @@
+"""Text analysis over document tables — language ID, quality scoring,
+token counting, fingerprinting.
+
+All functions return JVM-side Column expressions (whole-stage codegen, no
+Python in the loop).  Where a function is used in a driver-harness query
+with a DuckDB oracle, the expression is written in the shared
+ANSI-SQL subset both engines evaluate identically (length/replace/
+greatest/case — no regexp, whose dialects differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# ---------------------------------------------------------------------------
+# Token counting.  The oracle-parity variant assumes single-space-separated
+# text (true for the synthetic documents table); the robust variant handles
+# arbitrary whitespace.
+# ---------------------------------------------------------------------------
+def token_count_sql(col: str = "text") -> str:
+    """Shared Spark/DuckDB SQL: token count for single-space-separated text."""
+    return f"length({col}) - length(replace({col}, ' ', '')) + 1"
+
+
+def token_count(col) -> Column:
+    """Robust token count (Spark-side): split on whitespace runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length, punctuation density, mean token length.
+# Built only from length/replace arithmetic → byte-identical across engines.
+# ---------------------------------------------------------------------------
+def _count_char_sql(col: str, ch: str) -> str:
+    return f"length({col}) - length(replace({col}, '{ch}', ''))"
+
+
+def quality_score_sql(col: str = "text") -> str:
+    """Shared SQL: crude quality in [0,~1.5]: sentence-punct density +
+    capped mean token length signal + length signal."""
+    n_tok = token_count_sql(col)
+    n_punct = f"({_count_char_sql(col, '.')} + {_count_char_sql(col, '!')} + {_count_char_sql(col, '?')})"
+    # Cross-engine float parity: (1) e-notation literals (4e-1, not 0.4) —
+    # Spark parses plain decimal literals as DECIMAL and would compute this
+    # exactly while DuckDB computes in doubles; e-notation forces DOUBLE in
+    # both, making every op IEEE-identical.  (2) floor(x*1e4+5e-1)/1e4
+    # instead of round(): round() half-boundary modes differ across engines.
+    score = (
+        f"  least(1e0, length({col}) / 5e2) * 4e-1"
+        f"+ least(1e0, {n_punct} * 1e1 / ({n_tok})) * 3e-1"
+        f"+ least(1e0, (length({col}) * 1e0 / ({n_tok})) / 8e0) * 3e-1"
+    )
+    return f"cast(floor(({score}) * 1e4 + 5e-1) / 1e4 as double)"
+
+
+def quality_score(col: str = "text") -> Column:
+    return F.expr(quality_score_sql(col))
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-marker hit counting, argmax over language profiles.
+# The n-gram-heuristic analogue of the reference's per-language model
+# selection (MODEL env, test/test_recognize.py:13).
+# ---------------------------------------------------------------------------
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " is "],
+    "de": [" der ", " die ", " und ", " ist "],
+    "fr": [" le ", " les ", " des ", " est "],
+}
+
+
+def _marker_hits_sql(col: str, marker: str) -> str:
+    pad = f"concat(' ', {col}, ' ')"
+    return (
+        f"(length({pad}) - length(replace({pad}, '{marker}', '')))"
+        f" / {len(marker)}"
+    )
+
+
+def lang_score_sql(col: str, lang: str) -> str:
+    parts = " + ".join(_marker_hits_sql(col, m) for m in _LANG_MARKERS[lang])
+    return f"({parts})"
+
+
+def lang_id_sql(col: str = "text") -> str:
+    """Shared SQL: argmax language over marker-hit scores ('und' = unknown)."""
+    en, de, fr = (lang_score_sql(col, l) for l in ("en", "de", "fr"))
+    return (
+        f"case"
+        f" when {en} >= {de} and {en} >= {fr} and {en} > 0 then 'en'"
+        f" when {de} >= {fr} and {de} > 0 then 'de'"
+        f" when {fr} > 0 then 'fr'"
+        f" else 'und' end"
+    )
+
+
+def lang_id(col: str = "text") -> Column:
+    return F.expr(lang_id_sql(col))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+def fingerprint(col) -> Column:
+    """Stable 64-bit hex fingerprint (md5 prefix) — exact-dup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("binary")), 1, 16)
+
+
+def fingerprint_sql_duckdb(col: str = "text") -> str:
+    return f"substr(md5({col}), 1, 16)"
+
+
+def rolling_fingerprints(col, window: int = 8) -> Column:
+    """Rolling-hash shingle fingerprints: xxhash64 of each ``window``-token
+    shingle — the content-defined-chunking primitive, all JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(F.trim(c), r"\s+")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, window)))
+    )
