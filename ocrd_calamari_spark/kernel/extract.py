@@ -12,67 +12,57 @@ Mirrors the reference's ``process_page_pcgts`` composition
   hierarchy concat        ≈ _page_update_higher_textequiv_levels (recognize.py:708-747):
                             glyph "" -join → word " " -join → block "\n" -join
 
-The whole module is pure pandas/python — it runs identically as the frozen
-single-process oracle and inside ``mapInPandas`` (SURVEY.md §5.2).
+The position pipeline runs vectorized (kernel/fastpath.py, numpy over
+codepoint arrays); kernel/textproc.py holds the scalar specification the
+vectorization is proven equivalent to.  The whole module is pure
+pandas/numpy — it runs identically as the frozen single-process oracle and
+inside ``mapInPandas`` (SURVEY.md §5.2).
 """
 
 from __future__ import annotations
 
+import re
 from typing import Iterable, Iterator, Optional
 
+import numpy as np
 import pandas as pd
 
 from ocrd_calamari_spark.config import ExtractConfig
 from ocrd_calamari_spark.kernel.decode import decode_html
-from ocrd_calamari_spark.kernel.segment import Block, segment
-from ocrd_calamari_spark.kernel.textproc import (
-    Position,
-    assemble_text,
-    glyph_alts,
-    normalize_positions,
-    word_spans,
-)
+from ocrd_calamari_spark.kernel.fastpath import normalize_block, quantize6
+from ocrd_calamari_spark.kernel.segment import segment
 from ocrd_calamari_spark.kernel.vote import vote_block
 
-# Deterministic per-char confidence model.  The reference gets per-char
-# probabilities from the CTC decoder (recognize.py:240-247); our analogue is
-# a pure hash-based function of (char, fused_block_confidence) so retries,
-# partitioning and resume are reproducible (SURVEY.md §7.3 determinism).
-_JITTER_MOD = 997
-_JITTER_MULT = 2654435761  # Knuth multiplicative hash
-
-# Small confusion table for secondary hypotheses (≈ CTC alternatives).
+# Small confusion table for secondary hypotheses (≈ CTC alternatives,
+# recognize.py:240-247).  The alternative's probability p2 = (1-p1)/2 is
+# always below the primary's (p1 >= 0.5), which is what lets the fast path
+# equate sorted-top-1 with the raw char (kernel/fastpath.py invariants).
 _CONFUSION = {"l": "1", "1": "l", "o": "0", "0": "o", "ſ": "s", "S": "5", "5": "S"}
 
 # A payload whose decoded form is mostly control characters is not HTML;
 # raising here is the analogue of a poisoned sample the reference's
 # ``ignore_errors`` pipeline drops (recognize.py:606-609).
 _CTRL_FRACTION_LIMIT = 0.20
+_CTRL_RE = re.compile(r"[\x00-\x08\x0e-\x1f]")
+
+_WORD_RE = re.compile(r"[^ ]+")  # ≈ _words emission: non-space runs only
+                                 # (space runs advance offsets, emit nothing,
+                                 # recognize.py:313-327, :335)
 
 
-def _char_probs(c: str, fused: float) -> tuple:
-    """Primary + optional alternative hypothesis for one char."""
-    jitter = ((ord(c) * _JITTER_MULT) % _JITTER_MOD) / _JITTER_MOD
-    p1 = round(min(0.999, max(0.5, 0.70 + 0.30 * fused - 0.05 * jitter)), 6)
+def _alt_char(c: str) -> Optional[str]:
     alt = _CONFUSION.get(c)
     if alt is None and c.isalpha():
         sw = c.swapcase()
         alt = sw if sw != c else None
-    if alt is None:
-        return ((c, p1),)
-    p2 = round((1.0 - p1) * 0.5, 6)
-    return ((c, p1), (alt, p2))
-
-
-def _positions_for(block_raw_text: str, fused: float) -> list:
-    return [Position(chars=_char_probs(c, fused)) for c in block_raw_text]
+    return alt
 
 
 def _looks_binary(text: str) -> bool:
     if not text:
         return False
-    nctrl = sum(1 for ch in text[:4096] if ord(ch) < 32 and ch not in "\n\r\t\f\v")
-    return nctrl / min(len(text), 4096) > _CTRL_FRACTION_LIMIT
+    head = text[:4096]
+    return len(_CTRL_RE.findall(head)) / len(head) > _CTRL_FRACTION_LIMIT
 
 
 def extract_page(
@@ -105,6 +95,8 @@ def extract_page(
         if _looks_binary(decoded):
             raise ValueError("binary payload (control-char fraction exceeded)")
 
+        want_words = cfg.textequiv_level in ("word", "glyph")
+        want_glyphs = cfg.textequiv_level == "glyph"
         blocks_out, words_out, glyphs_out = [], [], []
         doc_parts = []
         doc_pos = 0
@@ -119,9 +111,8 @@ def extract_page(
             )
             if not accept:
                 continue
-            positions = _positions_for(blk.raw_text, fused)
-            positions = normalize_positions(positions, cfg.glyph_conf_cutoff)
-            text = assemble_text(positions, cfg.glyph_conf_cutoff)
+            # X1→X2→X3 + assembly + conf, vectorized (fastpath)
+            text, p1, conf = normalize_block(blk.raw_text, fused)
             if not text:
                 continue
             block_id = "blk%04d" % blk_no
@@ -130,30 +121,39 @@ def extract_page(
                 doc_pos += 1  # "\n" separator (A3, recognize.py:743-747)
             start = doc_pos
             end = start + len(text)
-            conf = round(
-                sum(p.chars[0][1] for p in positions) / len(positions), 6
-            )  # ≈ avg_char_probability, recognize.py:299
             conf_sum += conf
             blocks_out.append(
                 {"block_id": block_id, "start": start, "end": end,
                  "text": text, "conf": conf}
             )
-            if cfg.textequiv_level in ("word", "glyph"):
-                for word_no, ws, we, wtext in word_spans(text):
+            if want_words:
+                for word_no, m in enumerate(_WORD_RE.finditer(text)):
+                    ws, we = m.span()
                     word_id = "%s_word%04d" % (block_id, word_no)  # recognize.py:349
                     words_out.append(
                         {"block_id": block_id, "word_id": word_id,
-                         "start": start + ws, "end": start + we, "text": wtext}
+                         "start": start + ws, "end": start + we,
+                         "text": m.group()}
                     )
-                    if cfg.textequiv_level == "glyph":
-                        for glyph_no, p in enumerate(positions[ws:we]):
+                    if want_glyphs:
+                        for k in range(ws, we):
+                            c = text[k]
+                            pk = float(p1[k])
+                            alts = [{"text": c, "conf": pk, "index": 1}]
+                            ac = _alt_char(c)
+                            if ac is not None:
+                                p2 = float(quantize6((1.0 - pk) * 0.5))
+                                if p2 >= cfg.glyph_conf_cutoff:
+                                    alts.append(
+                                        {"text": ac, "conf": p2, "index": 2}
+                                    )
                             glyphs_out.append(
                                 {
-                                    "glyph_id": "%s_glyph%04d" % (word_id, glyph_no),
+                                    "glyph_id": "%s_glyph%04d" % (word_id, k - ws),
                                     "block_id": block_id,
-                                    "start": start + ws + glyph_no,
-                                    "end": start + ws + glyph_no + 1,
-                                    "alts": glyph_alts(p, cfg.glyph_conf_cutoff),
+                                    "start": start + k,
+                                    "end": start + k + 1,
+                                    "alts": alts,
                                 }
                             )
             doc_parts.append(text)
@@ -161,7 +161,9 @@ def extract_page(
 
         row["text"] = "\n".join(doc_parts)
         row["n_blocks"] = len(blocks_out)
-        row["conf"] = round(conf_sum / len(blocks_out), 6) if blocks_out else 0.0
+        row["conf"] = (
+            float(quantize6(conf_sum / len(blocks_out))) if blocks_out else 0.0
+        )
         row["blocks"] = blocks_out
         row["words"] = words_out
         row["glyphs"] = glyphs_out

@@ -1,0 +1,135 @@
+"""Tests for dedup / similarity / text-analysis / multimodal functions."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocrd_calamari_spark.functions.dedup import (
+    distinct_by_text,
+    exact_duplicates,
+    minhash_dedup,
+    simhash,
+    simhash_near_dupes,
+)
+from ocrd_calamari_spark.functions.multimodal import (
+    DECODED_SCHEMA,
+    MEDIA_SCHEMA,
+    decode_media,
+    make_fake_payload,
+)
+from ocrd_calamari_spark.functions.simsearch import brute_force_topk, lsh_topk
+from ocrd_calamari_spark.functions.text import lang_id, quality_score, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river bank now"),  # near dup of 0
+        (3, "der schnelle braune fuchs springt über den faulen hund und die brücke"),
+        (4, "le renard brun rapide saute par dessus le chien paresseux dans les bois"),
+        (5, "completely different content about spark query engines and shuffles here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestDedup:
+    def test_exact_duplicates(self, docs):
+        groups = exact_duplicates(docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["doc_ids"] == [0, 1]
+
+    def test_distinct_by_text(self, docs):
+        kept = distinct_by_text(docs)
+        assert kept.count() == 5
+        assert kept.where("doc_id = 1").count() == 0  # min-id wins
+
+    def test_minhash_finds_near_dup(self, docs):
+        pairs = minhash_dedup(docs, threshold=0.5).collect()
+        found = {(p.id_a, p.id_b) for p in pairs}
+        assert (0, 1) in found and (0, 2) in found
+        # unrelated docs never pair
+        assert not any(5 in p for p in found)
+
+    def test_simhash_deterministic_and_discriminative(self, spark, docs):
+        sigs = {r.doc_id: r.sig for r in
+                docs.select("doc_id", simhash("text").alias("sig")).collect()}
+        assert sigs[0] == sigs[1]  # identical text → identical signature
+        assert sigs[0] != sigs[5]
+        pairs = simhash_near_dupes(docs, max_hamming=10).collect()
+        assert any({p.id_a, p.id_b} == {0, 1} for p in pairs)
+
+
+class TestSimSearch:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        vecs = rng.standard_normal((50, 8)).astype("float32")
+        vecs[1] = vecs[0] + 0.01  # near-neighbor pair
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_brute_force_self_is_top1(self, emb):
+        q = emb.where("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        top = brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+        assert top[0].vec_id == 0 and abs(top[0].cosine_sim - 1.0) < 1e-9
+        assert top[1].vec_id == 1  # the planted near-neighbor
+
+    def test_lsh_recalls_planted_neighbor(self, emb):
+        q = emb.where("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        top = lsh_topk(emb, q, k=5, dim=8, n_planes=4).orderBy("rank").collect()
+        ids = [t.vec_id for t in top]
+        assert 0 in ids and 1 in ids  # same bucket for near-identical vectors
+
+
+class TestTextAnalysis:
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the cat and the dog of the house is here"),
+             (1, "der hund und die katze ist von dem haus"),
+             (2, "le chat et les chiens est pour des maisons")],
+            ["i", "text"],
+        )
+        out = {r.i: r.lang for r in df.select("i", lang_id("text").alias("lang")).collect()}
+        assert out == {0: "en", 1: "de", 2: "fr"}
+
+    def test_token_count_and_quality(self, spark):
+        df = spark.createDataFrame([(0, "one two three. four!")], ["i", "text"])
+        r = df.select(
+            token_count("text").alias("n"),
+            quality_score("text").alias("q"),
+        ).collect()[0]
+        assert r.n == 4
+        assert 0.0 < r.q <= 1.5
+
+
+class TestMultimodal:
+    def test_decode_fake_backend(self, spark):
+        rows = [
+            (0, "image", make_fake_payload("image", 640, 480, b"x" * 100), ("u0", "image/png")),
+            (1, "audio", make_fake_payload("audio", 16000, 32000, b"y" * 50), ("u1", "audio/wav")),
+            (2, "image", b"garbage", ("u2", "image/png")),  # poisoned
+            (3, "video", make_fake_payload("video", 120, 30, b"z" * 64), ("u3", "video/mp4")),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r.media_id: r for r in decode_media(df).collect()}
+        assert out[0].width == 640 and out[0].height == 480
+        assert len(out[0].features) == 16
+        assert out[1].width == 16000
+        assert out[2].error is not None  # error row, not task failure
+        assert out[3].error is None
+
+    def test_real_backend_is_marked_stub(self, spark):
+        df = spark.createDataFrame(
+            [(0, "image", make_fake_payload("image", 1, 1), ("u", "t"))],
+            MEDIA_SCHEMA,
+        )
+        out = decode_media(df, backend="real").collect()
+        assert "NotImplementedError" in out[0].error
