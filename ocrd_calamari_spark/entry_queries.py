@@ -50,10 +50,18 @@ _PAGE_FOOT = (
 )
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_from_documents(
+    spark: SparkSession, sf_dir: str, pre_partitions: int | None = None
+) -> DataFrame:
     """Wrap each documents.text row into a boilerplated HTML page —
-    the deterministic extraction workload over driver-provided data."""
+    the deterministic extraction workload over driver-provided data.
+
+    ``pre_partitions``: repartition the (tiny) documents rows BEFORE
+    building the html payloads so page synthesis parallelizes even though
+    the source is a single parquet file."""
     docs = _t(spark, sf_dir, "documents")
+    if pre_partitions:
+        docs = docs.repartition(pre_partitions, "doc_id")
     html = F.concat(
         F.lit(_PAGE_HEAD),
         F.lit("<article><h1>Document "),

@@ -1,0 +1,94 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 promises must
+actually appear in the plans — filter pushdown to the scan, column pruning
+to exactly the kernel inputs, broadcast joins for small dims, map-side
+partial aggregation, and no spurious exchanges in the map-only pipeline."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocrd_calamari_spark.config import ExtractConfig
+from ocrd_calamari_spark.pipeline import extract_df, read_pages
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+class TestScanPushdown:
+    def test_filter_pushed_to_parquet(self, spark):
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        q = d.where((F.col("lang") == "en") & F.col("n_chars").between(100, 400)) \
+             .select("doc_id", "n_chars")
+        plan = plan_of(q)
+        assert "PushedFilters" in plan
+        assert "lang" in plan.split("PushedFilters")[1].split("\n")[0]
+
+    def test_column_pruning_on_documents(self, spark):
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        q = d.select("doc_id")
+        plan = plan_of(q)
+        rs = plan.split("ReadSchema:")[1].split("\n")[0]
+        assert "doc_id" in rs and "text" not in rs
+
+    def test_extraction_scan_prunes_to_kernel_columns(self, spark, pages_parquet):
+        df = read_pages(spark, pages_parquet)
+        out = extract_df(df, ExtractConfig(), with_lineage=False,
+                         repartition=False)
+        plan = plan_of(out)
+        rs = plan.split("ReadSchema:")[1].split("\n")[0]
+        # exactly the kernel inputs — warc_ts and the test-only `case`
+        # column must NOT be read
+        for col in ("url", "html", "text", "lang"):
+            assert col in rs
+        assert "warc_ts" not in rs and "case" not in rs
+
+    def test_time_predicate_reaches_scan(self, spark, pages_parquet):
+        df = read_pages(spark, pages_parquet, since="2024-06-10")
+        plan = plan_of(df.select("url"))
+        assert "PushedFilters" in plan
+        assert "warc_ts" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+class TestJoinAndAggStrategies:
+    def test_small_dim_join_broadcasts(self, spark):
+        from ocrd_calamari_spark.entry_queries import q_join_revenue
+
+        plan = plan_of(q_join_revenue(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q1_has_partial_aggregation(self, spark):
+        from ocrd_calamari_spark.entry_queries import q1_pricing_summary
+
+        plan = plan_of(q1_pricing_summary(spark, SF), "simple")
+        # two HashAggregates (partial + final) around one exchange
+        assert plan.count("HashAggregate") >= 2
+
+    def test_extraction_plan_is_single_map_stage(self, spark, pages_parquet):
+        df = read_pages(spark, pages_parquet)
+        out = extract_df(df, ExtractConfig(), with_lineage=False,
+                         repartition=False)
+        plan = plan_of(out, "simple")
+        assert "Exchange" not in plan  # map-only: scan → python map, no shuffle
+        assert "MapInPandas" in plan
+
+    def test_salted_repartition_is_single_exchange(self, spark, pages_parquet):
+        df = read_pages(spark, pages_parquet)
+        out = extract_df(df, ExtractConfig(), with_lineage=False,
+                         num_partitions=16, salt=8)
+        plan = plan_of(out, "simple")
+        assert plan.count("Exchange") == 1
+
+    def test_whole_stage_codegen_on_relational_path(self, spark):
+        from ocrd_calamari_spark.entry_queries import q_token_stats
+
+        plan = plan_of(q_token_stats(spark, SF), "simple")
+        assert "*(" in plan  # WholeStageCodegen span marker
