@@ -509,6 +509,160 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over embeddings ∪ perturbed copies."""
+    from ocrd_calamari_spark.functions.simsearch import embedding_near_dupes
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    corpus = emb.unionByName(perturbed)
+    pairs = embedding_near_dupes(corpus, threshold=0.98, dim=64, n_planes=8)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# More relational shapes (all DuckDB-oracled)
+# ---------------------------------------------------------------------------
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP lattice over (lang, source) — multi-level agg in one pass."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count("*").alias("n"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"))
+        .orderBy("lang", "source")
+    )
+
+
+ROLLUP_SQL = """
+SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+ORDER BY lang, source
+"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: partial counts on (key, salt),
+    re-agg on key — the explicit-salting pattern the north_rule requires
+    for Zipf keys; result provably equals the plain GROUP BY (the oracle).
+    """
+    d = _t(spark, sf_dir, "documents")
+    phase1 = (
+        d.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+        .groupBy("lang", "_salt")
+        .agg(F.count("*").alias("c"), F.sum("n_chars").alias("s"))
+    )
+    return (
+        phase1.groupBy("lang")
+        .agg(F.sum("c").cast("bigint").alias("n_docs"), F.sum("s").cast("bigint").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
+SALTED_AGG_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_percentile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas): per-lang rank percentile of n_chars.
+    Exact-integer math → bit-identical to the window-function oracle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def _pct(pdf):
+        pdf = pdf.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        n = len(pdf)
+        pdf["pct"] = [
+            (i * 1.0) / (n - 1) if n > 1 else 0.0 for i in range(n)
+        ]
+        return pdf
+
+    out = d.groupBy("lang").applyInPandas(
+        _pct, "doc_id bigint, lang string, n_chars bigint, pct double"
+    )
+    return out.select("doc_id", "lang", "pct")
+
+
+PERCENTILE_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN cnt > 1
+            THEN (rn - 1) * 1e0 / (cnt - 1) ELSE 0e0 END AS pct
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+)
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT): english docs minus long docs."""
+    d = _t(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("doc_id")
+    long_docs = d.where(F.col("n_chars") > 300).select("doc_id")
+    return en.subtract(long_docs).orderBy("doc_id")
+
+
+SET_EXCEPT_SQL = """
+SELECT doc_id FROM documents WHERE lang = 'en'
+EXCEPT
+SELECT doc_id FROM documents WHERE n_chars > 300
+ORDER BY doc_id
+"""
+
+
+def q_substring_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring predicate counting (instr) per lang."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(
+                (F.instr(F.col("text"), " the ") > 0).cast("bigint")
+            ).alias("docs_with_the"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+SUBSTRING_SQL = """
+SELECT lang,
+       CAST(SUM(CASE WHEN instr(text, ' the ') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_the,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the events.props JSON column."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -531,11 +685,18 @@ QUERIES = {
     "sessionize": q_sessionize,
     "hourly_windows": q_hourly_windows,
     "cosine_topk": q_cosine_topk,
+    "rollup_counts": q_rollup_counts,
+    "salted_agg": q_salted_agg,
+    "percentile_grouped": q_percentile_grouped,
+    "set_except": q_set_except,
+    "substring_hits": q_substring_hits,
+    "json_extract": q_json_extract,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "exact_dup_groups": q_exact_dup_groups,
     "lsh_ann": q_lsh_ann,
+    "embedding_near_dupes": q_embedding_near_dupes,
 }
 
 ORACLES = {
@@ -553,4 +714,10 @@ ORACLES = {
     "sessionize": SESSIONIZE_SQL,
     "hourly_windows": HOURLY_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
+    "rollup_counts": ROLLUP_SQL,
+    "salted_agg": SALTED_AGG_SQL,
+    "percentile_grouped": PERCENTILE_SQL,
+    "set_except": SET_EXCEPT_SQL,
+    "substring_hits": SUBSTRING_SQL,
+    "json_extract": JSON_SQL,
 }

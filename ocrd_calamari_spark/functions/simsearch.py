@@ -100,6 +100,46 @@ def lsh_signature(vec_col, planes) -> "F.Column":
     return sig
 
 
+def embedding_near_dupes(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    LSH-blocked: a pair with cosine ≥ threshold almost surely agrees on a
+    hyperplane-sign bucket; candidate pairs form within buckets only
+    (quadratic work confined per bucket), verified with exact cosine.
+    At 10^9 rows the bucket id becomes the table's physical bucket key.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    sigs = df.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_signature(vec_col, planes).alias("_bucket"),
+    )
+    l, r = sigs.alias("l"), sigs.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine(
+                F.col(f"l.{vec_col}").cast("array<double>"),
+                F.col(f"r.{vec_col}").cast("array<double>"),
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

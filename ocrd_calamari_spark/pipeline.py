@@ -64,13 +64,20 @@ def read_pages(
 DEFAULT_SALT = 16  # sub-buckets per host for skew spreading
 
 
-def _map_fn_with_lineage(cfg: ExtractConfig, snapshot_id: int | None):
+def _map_fn_with_lineage(cfg: ExtractConfig, snapshot_id: int | None,
+                         accs: dict | None = None):
     """mapInPandas fn: extraction + lineage passthrough.
 
     Lineage columns (_src_file, _part_id) ride along the input batch and are
     re-attached to the output rows — the keyed re-association the reference
     does through a shared Manager dict (recognize.py:662-693) is free here
     because input and output of a batch stay aligned per url.
+
+    ``accs``: optional dict of SparkContext accumulators (docs, failed,
+    overwrote, raw_charset) updated per batch — the live-metrics channel the
+    north_star asks for (exact counters still come from the committed
+    output; accumulators can overcount on task retry, which is why they are
+    the dashboard, not the ledger).
     """
 
     def _fn(batches):
@@ -86,9 +93,22 @@ def _map_fn_with_lineage(cfg: ExtractConfig, snapshot_id: int | None):
                 }
                 for f, p in zip(files, parts)
             ]
+            if accs is not None:
+                accs["docs"].add(len(out))
+                accs["failed"].add(int(out["error"].notna().sum()))
+                accs["overwrote"].add(int(out["overwrote"].sum()))
+                accs["raw_charset"].add(int(out["raw_charset"].sum()))
             yield out
 
     return _fn
+
+
+def make_accumulators(spark: SparkSession) -> dict:
+    """Live job counters (≈ the reference's warning-log counting contract,
+    test/test_recognize.py:47-52, :73-75)."""
+    sc = spark.sparkContext
+    return {name: sc.accumulator(0)
+            for name in ("docs", "failed", "overwrote", "raw_charset")}
 
 
 def with_part_id(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -110,6 +130,7 @@ def extract_df(
     snapshot_id: int | None = None,
     with_lineage: bool = True,
     repartition: bool = True,
+    accumulators: dict | None = None,
 ) -> DataFrame:
     """The core logical plan: pages DataFrame → extraction output DataFrame.
 
@@ -133,7 +154,9 @@ def extract_df(
             sel = sel.repartition(num_partitions, host, salt_col)
         else:
             sel = sel.repartition(host, salt_col)
-    return sel.mapInPandas(_map_fn_with_lineage(cfg, snapshot_id), OUTPUT_SCHEMA)
+    return sel.mapInPandas(
+        _map_fn_with_lineage(cfg, snapshot_id, accumulators), OUTPUT_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -208,13 +231,15 @@ def run_extraction(
     n_rows_total = 0
     chunks_done = 0
     next_chunk_id = (max(done) + 1) if done else 0
+    accs = make_accumulators(spark)
     for gi, group in enumerate(groups):
         if stop_after_chunks is not None and chunks_done >= stop_after_chunks:
             break
         chunk_id = next_chunk_id + gi
         subset = pages.where(F.col("_part_id").isin(group))
         result = extract_df(
-            subset, cfg, num_partitions=num_partitions, snapshot_id=snapshot_id
+            subset, cfg, num_partitions=num_partitions, snapshot_id=snapshot_id,
+            accumulators=accs,
         )
         chunk_dir = os.path.join(data_dir, "chunk=%d" % chunk_id)
         result.write.mode("overwrite").parquet(chunk_dir)
@@ -254,6 +279,7 @@ def run_extraction(
         "failed_total": sum(r["failed"] for r in all_recs),
         "overwrote_total": sum(r["overwrote"] for r in all_recs),
         "raw_charset_total": sum(r["raw_charset"] for r in all_recs),
+        "accumulators": {name: acc.value for name, acc in accs.items()},
         "complete": len({p for r in all_recs for p in r["part_ids"]}) == n_buckets,
     }
 

@@ -74,6 +74,55 @@ def start_extraction_stream(
     return writer.start()
 
 
+def stateful_url_dedup(pages: DataFrame, n_groups: int = 256) -> DataFrame:
+    """Custom stateful streaming operator: cross-micro-batch URL dedup via
+    ``applyInPandasWithState`` — first sighting of a url passes through,
+    repeats (recrawls within the stream) are dropped.
+
+    State = set of xxhash64(url) per hash-group (bounded groups so state
+    partitions evenly; at crawl scale the group count becomes the state
+    store's shuffle partition multiple).  State survives restarts through
+    the streaming checkpoint.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "url string, warc_ts timestamp, lang string, grp bigint"
+    state_schema = "seen array<long>"
+
+    import hashlib
+
+    def _stable_hash(u: str) -> int:
+        # process-independent (unlike builtin hash(), which varies with
+        # PYTHONHASHSEED) — state must mean the same thing after a restart.
+        # Masked to 63 bits: the state column is a signed long; an unmasked
+        # top bit silently wraps negative on the state round-trip and the
+        # re-computed (positive) hash never matches it again.
+        return int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+    def _dedup(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            h = pdf["url"].map(_stable_hash)
+            fresh = ~h.isin(seen)
+            seen.update(h[fresh].tolist())
+            if fresh.any():
+                out = pdf.loc[fresh, ["url", "warc_ts", "lang"]].copy()
+                out["grp"] = key[0]
+                yield out
+        state.update((list(seen),))
+
+    grouped = pages.select(
+        "url", "warc_ts", "lang",
+        F.pmod(F.xxhash64("url"), F.lit(n_groups)).alias("grp"),
+    ).groupBy("grp")
+    return grouped.applyInPandasWithState(
+        _dedup, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def hourly_host_stats_stream(
     pages: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

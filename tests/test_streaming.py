@@ -76,3 +76,24 @@ class TestStreamingExtraction:
         assert len(rows) > 0
         hosts = {r.host for r in rows}
         assert any(h.startswith("host00") for h in hosts)  # skewed host present
+
+
+class TestStatefulDedup:
+    def test_cross_batch_url_dedup(self, spark, tmp_path, pages_pdf):
+        from ocrd_calamari_spark.streaming import read_pages_stream, stateful_url_dedup
+        from ocrd_calamari_spark.gen import write_pages_parquet
+
+        in_dir = tmp_path / "in"; in_dir.mkdir()
+        # drop2 re-crawls 50 urls from drop1
+        write_pages_parquet(pages_pdf.iloc[:100], str(in_dir / "d1.parquet"))
+        write_pages_parquet(pages_pdf.iloc[50:150], str(in_dir / "d2.parquet"))
+        pages = read_pages_stream(spark, str(in_dir), max_files_per_trigger=1)
+        deduped = stateful_url_dedup(pages, n_groups=16)
+        q = (deduped.writeStream.format("memory").queryName("dedup_out")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("select url from dedup_out").collect()
+        urls = [r.url for r in rows]
+        assert len(urls) == 150            # 200 inputs, 50 dups dropped
+        assert len(set(urls)) == 150
