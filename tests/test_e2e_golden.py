@@ -105,3 +105,53 @@ class TestConfigMatrix:
             for w in row["words"]:
                 assert row["text"][w["start"]:w["end"]] == w["text"]
         assert any_words
+
+
+class TestGlyphLevelThroughSpark:
+    def test_glyph_arrays_roundtrip_arrow(self, spark, pages_parquet):
+        from ocrd_calamari_spark.config import ExtractConfig
+
+        df = read_pages(spark, pages_parquet).limit(30)
+        out = extract_df(df, ExtractConfig(textequiv_level="glyph"),
+                         repartition=False).toPandas()
+        seen_alts = 0
+        for _, row in out.iterrows():
+            if row["error"] is not None or row["glyphs"] is None:
+                continue
+            for g in row["glyphs"]:
+                alts = list(g["alts"])
+                assert alts[0]["index"] == 1
+                # ranked desc by conf, index contiguous from 1
+                confs = [a["conf"] for a in alts]
+                assert confs == sorted(confs, reverse=True)
+                assert [a["index"] for a in alts] == list(range(1, len(alts) + 1))
+                assert row["text"][g["start"]:g["end"]] == alts[0]["text"]
+                seen_alts += len(alts)
+        assert seen_alts >= 100  # ≈ test_recognize.py:139-140
+
+
+class TestSkewDistribution:
+    def test_salted_repartition_spreads_skewed_host(self, spark, pages_parquet):
+        """host00 holds ~30% of rows (gen.py Zipf fixture); after the salted
+        repartition no output partition should hold more than ~3x the mean."""
+        from pyspark.sql import functions as F
+
+        df = read_pages(spark, pages_parquet)
+        n_parts = 16
+        host = F.parse_url(F.col("url"), F.lit("HOST"))
+        salted = df.repartition(
+            n_parts, host, F.pmod(F.xxhash64("url"), F.lit(8))
+        )
+        sizes = (
+            salted.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().collect()
+        )
+        counts = [r["count"] for r in sizes]
+        assert max(counts) <= 3 * (sum(counts) / len(counts))
+        # unsalted repartition by host alone concentrates ~30% in one task
+        unsalted = df.repartition(n_parts, host)
+        sizes_u = (
+            unsalted.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().collect()
+        )
+        assert max(r["count"] for r in sizes_u) > max(counts)
