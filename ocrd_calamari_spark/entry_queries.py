@@ -641,6 +641,117 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q5_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 4-way join (two broadcastable dims) + agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q5_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one 1998+ order."""
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+"""
+
+
+def q_dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + ntile window functions over parts."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.dense_rank().over(w).cast("bigint").alias("price_rank"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+DENSE_RANK_SQL = """
+SELECT p_partkey, p_brand,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS price_rank,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+"""
+
+
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): per-user inter-event value delta (exact via DECIMAL)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "user_id",
+        "event_id",
+        (v - F.lag(v).over(w)).cast("double").alias("value_delta"),
+    )
+
+
+LAG_DELTA_SQL = """
+SELECT user_id, event_id,
+       CAST(CAST(value AS DECIMAL(18,2))
+            - LAG(CAST(value AS DECIMAL(18,2)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+         AS value_delta
+FROM events
+"""
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): short docs ∪ French docs."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("n_chars") < 150).select("doc_id")
+    b = d.where(F.col("lang") == "fr").select("doc_id")
+    return a.union(b).distinct().orderBy("doc_id")
+
+
+SET_UNION_SQL = """
+SELECT doc_id FROM documents WHERE n_chars < 150
+UNION
+SELECT doc_id FROM documents WHERE lang = 'fr'
+ORDER BY doc_id
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction from the events.props JSON column."""
     e = _t(spark, sf_dir, "events")
@@ -691,6 +802,11 @@ QUERIES = {
     "set_except": q_set_except,
     "substring_hits": q_substring_hits,
     "json_extract": q_json_extract,
+    "q5_revenue_by_region": q5_revenue_by_region,
+    "semi_join": q_semi_join,
+    "dense_rank_ntile": q_dense_rank_ntile,
+    "lag_delta": q_lag_delta,
+    "set_union": q_set_union,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
@@ -720,4 +836,9 @@ ORACLES = {
     "set_except": SET_EXCEPT_SQL,
     "substring_hits": SUBSTRING_SQL,
     "json_extract": JSON_SQL,
+    "q5_revenue_by_region": Q5_SQL,
+    "semi_join": SEMI_JOIN_SQL,
+    "dense_rank_ntile": DENSE_RANK_SQL,
+    "lag_delta": LAG_DELTA_SQL,
+    "set_union": SET_UNION_SQL,
 }

@@ -53,13 +53,20 @@ class Block:
     n_link_chars: int = 0  # chars inside <a> subtrees
     n_tags: int = 0  # descendant element count (density denominator)
 
+    _raw: str = None  # memo — blocks are append-only during the parse and
+    _vis: int = None  # read-only afterwards, so first access can cache
+
     @property
     def raw_text(self) -> str:
         """Text with each whitespace char mapped to ' ' (runs preserved)."""
-        return "".join(self.chunks)
+        if self._raw is None:
+            self._raw = "".join(self.chunks)
+        return self._raw
 
     def visible_len(self) -> int:
-        return len(self.raw_text.replace(" ", ""))
+        if self._vis is None:
+            self._vis = len(self.raw_text.replace(" ", ""))
+        return self._vis
 
 
 class _Segmenter(HTMLParser):
@@ -155,23 +162,26 @@ def _scan(html_text: str, sink: _Segmenter) -> None:
     pos = 0
     lower = None
     n = len(html_text)
+    search = _TOKEN_RE.search
+    emit_data = sink.handle_data
+    emit_start = sink.handle_starttag
+    emit_end = sink.handle_endtag
     while pos < n:
-        m = _TOKEN_RE.search(html_text, pos)
+        m = search(html_text, pos)
         if m is None:
-            sink.handle_data(_unescape(html_text[pos:]))
+            emit_data(_unescape(html_text[pos:]))
             return
         if m.start() > pos:
-            sink.handle_data(_unescape(html_text[pos:m.start()]))
+            emit_data(_unescape(html_text[pos:m.start()]))
         pos = m.end()
-        name = m.group(2)
+        closing, name, _attrs, selfclose = m.group(1, 2, 3, 4)
         if name is None:  # comment/doctype/pi — no event
             continue
-        closing, attrs, selfclose = m.group(1), m.group(3), m.group(4)
         tag = name.lower()
         if closing:
-            sink.handle_endtag(tag)
+            emit_end(tag)
         else:
-            sink.handle_starttag(tag, ())
+            emit_start(tag, ())
             if selfclose:
                 # HTMLParser's default handle_startendtag → start + end
                 sink.handle_endtag(tag)
