@@ -58,3 +58,25 @@ class TestResume:
         assert metrics["failed_total"] > 0  # poison fixtures present
         assert metrics["overwrote_total"] > 0
         assert metrics["raw_charset_total"] > 0
+
+
+class TestMidWriteKill:
+    def test_uncommitted_chunk_dir_cleaned_on_resume(self, spark, pages_parquet,
+                                                     tmp_path_factory):
+        """A job killed MID-WRITE leaves a chunk dir with no manifest entry;
+        the restart must delete it and reprocess those buckets exactly once."""
+        import os
+
+        d = str(tmp_path_factory.mktemp("midkill"))
+        m1 = run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
+                            stop_after_chunks=2)
+        # simulate a crash during chunk 2's write: orphan dir, no manifest
+        orphan = os.path.join(d, "data", "chunk=2")
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+            f.write(b"NOT A PARQUET FILE")  # partial garbage
+        m2 = run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4)
+        assert m2["complete"]
+        out = read_output(spark, d)
+        assert out.count() == out.select("url").distinct().count()
+        assert m1["rows_this_run"] + m2["rows_this_run"] == m2["rows_total"]
