@@ -498,6 +498,39 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(corpus).orderBy("fp")
 
 
+def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-k as cosine_topk, via the vectorized numpy scorer
+    with per-batch local top-k (the scale path) — shares the SQL oracle."""
+    from ocrd_calamari_spark.functions.simsearch import brute_force_topk_pandas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk_pandas(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocrd_calamari_spark.functions.simsearch import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4,
+                   sample_mod=4)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", 4).alias("cosine_sim"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -812,6 +845,8 @@ QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "exact_dup_groups": q_exact_dup_groups,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
+    "cosine_topk_pandas": q_cosine_topk_pandas,
     "embedding_near_dupes": q_embedding_near_dupes,
 }
 
@@ -841,4 +876,5 @@ ORACLES = {
     "dense_rank_ntile": DENSE_RANK_SQL,
     "lag_delta": LAG_DELTA_SQL,
     "set_union": SET_UNION_SQL,
+    "cosine_topk_pandas": COSINE_TOPK_SQL,
 }

@@ -100,6 +100,159 @@ def lsh_signature(vec_col, planes) -> "F.Column":
     return sig
 
 
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k via a vectorized numpy scorer (mapInPandas).
+
+    The scale path for wide vectors / many queries: one BLAS matmul per
+    Arrow batch instead of per-row HOF expression evaluation, and a LOCAL
+    top-k inside each batch — only k rows per (query, batch) reach the
+    final global top-k, so the shuffle is O(k·q·batches), not O(n·q).
+
+    Results match brute_force_topk (same scores up to summation order;
+    identical after 4-dp rounding — tested).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qpdf[query_id_col].to_numpy()
+
+    out_schema = f"{query_id_col} long, {id_col} long, cosine_sim double"
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ Qn.T  # (batch, n_queries)
+            top = min(k, len(pdf))
+            ids = pdf[id_col].to_numpy()
+            rows = []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                # local top-k (argpartition then exact sort of the k head)
+                idx = np.argpartition(-col, top - 1)[:top]
+                idx = idx[np.argsort(-col[idx], kind="stable")]
+                for i in idx:
+                    rows.append((int(qids[j]), int(ids[i]), float(col[i])))
+            yield pd.DataFrame(rows, columns=[query_id_col, id_col, "cosine_sim"])
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(_score, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    sample_mod: int = 1,
+    lloyd_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → assign each vector
+    to its nearest centroid (vectorized pandas scorer) → probe only the
+    ``n_probe`` nearest cells per query.
+
+    Deterministic end-to-end: centroid init from a seeded RNG over a
+    hash-sampled training set, fixed Lloyd iteration count — retries and
+    resume reproduce the same index.  At 10^9+ rows the ``_cell`` column
+    becomes the table's physical partition key and probes prune the scan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # ---- train: hash-sampled subset → driver, few Lloyd iterations ----
+    train = corpus.select(vec_col)
+    if sample_mod > 1:
+        train = corpus.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+        ).select(vec_col)
+    X = np.stack(train.toPandas()[vec_col].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    C = Xn[rng.choice(len(Xn), size=min(n_centroids, len(Xn)), replace=False)]
+    for _ in range(lloyd_iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(len(C)):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / (np.linalg.norm(m) or 1.0)
+
+    out_schema_assign = f"{id_col} long, _cell int"
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            cell = np.argmax(Mn @ C.T, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "_cell": cell.astype("int32")}
+            )
+
+    cells = corpus.select(id_col, vec_col).mapInPandas(_assign, out_schema_assign)
+    indexed = corpus.join(cells, id_col)
+
+    # ---- probe: n_probe nearest cells per query (driver-side, tiny) ----
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe_rows = []
+    order = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
+    for qi, qid in enumerate(qpdf[query_id_col].to_numpy()):
+        for cell in order[qi]:
+            probe_rows.append((int(qid), int(cell)))
+    spark = corpus.sparkSession
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, [query_id_col, "_cell"])
+    )
+    qdf = F.broadcast(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
+    )
+    scored = (
+        indexed.join(probes, "_cell")
+        .join(qdf, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(
+                F.col(vec_col).cast("array<double>"),
+                F.col("_qvec").cast("array<double>"),
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dupes(
     df: DataFrame,
     threshold: float = 0.95,

@@ -133,3 +133,63 @@ class TestMultimodal:
         )
         out = decode_media(df, backend="real").collect()
         assert "NotImplementedError" in out[0].error
+
+
+class TestSimSearchVariants:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        vecs = rng.standard_normal((200, 16)).astype("float32")
+        vecs[1] = vecs[0] + 0.01
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    @pytest.fixture(scope="class")
+    def queries(self, emb):
+        return emb.where("vec_id < 4").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+    def test_pandas_scorer_matches_sql_scorer(self, emb, queries):
+        from ocrd_calamari_spark.functions.simsearch import (
+            brute_force_topk, brute_force_topk_pandas,
+        )
+
+        a = brute_force_topk(emb, queries, k=8).select(
+            "query_id", "vec_id", F.round("cosine_sim", 4).alias("s")
+        ).collect()
+        b = brute_force_topk_pandas(emb, queries, k=8).select(
+            "query_id", "vec_id", F.round("cosine_sim", 4).alias("s")
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_ivf_recall(self, emb, queries):
+        from ocrd_calamari_spark.functions.simsearch import (
+            brute_force_topk, ivf_topk,
+        )
+
+        exact = brute_force_topk(emb, queries, k=5).collect()
+        approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        recalls = [
+            len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ]
+        assert sum(recalls) / len(recalls) >= 0.6  # probing half the cells
+        # self-match always survives
+        for q in exact_sets:
+            assert q in approx_sets.get(q, set())
+
+    def test_ivf_deterministic(self, emb, queries):
+        from ocrd_calamari_spark.functions.simsearch import ivf_topk
+
+        a = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
+        b = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
