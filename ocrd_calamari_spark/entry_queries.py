@@ -785,6 +785,37 @@ ORDER BY doc_id
 """
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization token counting (LLM token-budget estimate)."""
+    from ocrd_calamari_spark.functions.text import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+BPE_TOKEN_SQL = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash shingle fingerprints (content-defined-chunking primitive,
+    xxhash64-specific → rows-only)."""
+    from ocrd_calamari_spark.functions.text import rolling_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fp = rolling_fingerprints("text", window=8)
+    return d.select(
+        "doc_id",
+        F.size(fp).alias("n_shingles"),
+        F.element_at(fp, 1).alias("first_fp"),
+        F.element_at(fp, -1).alias("last_fp"),
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction from the events.props JSON column."""
     e = _t(spark, sf_dir, "events")
@@ -840,6 +871,8 @@ QUERIES = {
     "dense_rank_ntile": q_dense_rank_ntile,
     "lag_delta": q_lag_delta,
     "set_union": q_set_union,
+    "bpe_token_count": q_bpe_token_count,
+    "rolling_fingerprints": q_rolling_fingerprints,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
@@ -877,4 +910,5 @@ ORACLES = {
     "lag_delta": LAG_DELTA_SQL,
     "set_union": SET_UNION_SQL,
     "cosine_topk_pandas": COSINE_TOPK_SQL,
+    "bpe_token_count": BPE_TOKEN_SQL,
 }

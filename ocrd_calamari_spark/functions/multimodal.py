@@ -116,6 +116,59 @@ def decode_media(df: DataFrame, backend: str = "fake") -> DataFrame:
     return df.select("media_id", "kind", "payload").mapInPandas(_fn, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 256,
+                  backend: str = "fake") -> DataFrame:
+    """Image resize via mapInPandas.
+
+    ``fake`` backend rewrites the header dims to the aspect-preserving
+    target and truncates the body proportionally (deterministic); ``real``
+    is the marked PIL plug point.  Plumbing (schema, batching, error rows)
+    is the tested surface.
+    """
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"].values, pdf["kind"].values, pdf["payload"].values
+            ):
+                row = {"media_id": mid, "width": None, "height": None,
+                       "payload": None, "error": None}
+                try:
+                    if backend == "real":
+                        raise NotImplementedError(
+                            "real resize requires PIL — use backend='fake'"
+                        )
+                    if kind != "image":
+                        raise ValueError(f"not an image: {kind}")
+                    w, h, _, _ = _decode_one(payload, backend)
+                    scale = min(1.0, max_side / max(w, h, 1))
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    body = bytes(payload[12:])
+                    keep = max(1, int(len(body) * scale * scale)) if body else 0
+                    row.update(
+                        width=nw, height=nh,
+                        payload=make_fake_payload("image", nw, nh, body[:keep]),
+                    )
+                except Exception as exc:
+                    row["error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select("media_id", "kind", "payload").mapInPandas(_fn, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plan: expand each video row into frame stubs
     (frame_no, ts_offset) JVM-side; the per-frame decode would attach via

@@ -112,6 +112,20 @@ def fingerprint_sql_duckdb(col: str = "text") -> str:
     return f"substr(md5({col}), 1, 16)"
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# BPE-ish pre-tokenization: letter runs, single digits, single punctuation
+# marks — the GPT-2-style pre-split shape (letters | digits | symbols),
+# whitespace elided.  A real BPE merge table would refine these further;
+# this is the token-budget estimator variant.
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Approximate LLM-token count via BPE-style pre-tokenization regex
+    (JVM regexp_count — no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("bigint")
+
+
 def rolling_fingerprints(col, window: int = 8) -> Column:
     """Rolling-hash shingle fingerprints: xxhash64 of each ``window``-token
     shingle — the content-defined-chunking primitive, all JVM-side."""

@@ -193,3 +193,23 @@ class TestSimSearchVariants:
         a = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
         b = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestResize:
+    def test_resize_fake_backend(self, spark):
+        from ocrd_calamari_spark.functions.multimodal import resize_images
+
+        rows = [
+            (0, "image", make_fake_payload("image", 1024, 512, b"x" * 400), ("u0", "image/png")),
+            (1, "image", make_fake_payload("image", 100, 50, b"y" * 60), ("u1", "image/png")),
+            (2, "audio", make_fake_payload("audio", 1, 1), ("u2", "audio/wav")),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r.media_id: r for r in resize_images(df, max_side=256).collect()}
+        assert (out[0].width, out[0].height) == (256, 128)  # downscaled, aspect kept
+        assert (out[1].width, out[1].height) == (100, 50)   # already small: unchanged
+        assert out[2].error is not None                     # non-image → error row
+        # resized payload still decodes
+        from ocrd_calamari_spark.functions.multimodal import _decode_one
+        w, h, _, _ = _decode_one(out[0].payload, "fake")
+        assert (w, h) == (256, 128)

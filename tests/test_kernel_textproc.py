@@ -126,3 +126,17 @@ class TestWordSpans:
         text = "a b c d"
         words = [w for _, _, _, w in word_spans(text)]
         assert " ".join(words) == text
+
+
+class TestReferenceJoinInvariant:
+    """≈ test_recognize.py:106-113: word texts ' '-joined reconstruct the
+    normalized block text (single internal spaces after X1-X3)."""
+
+    def test_words_space_join_reconstructs_block(self):
+        from ocrd_calamari_spark.kernel.fastpath import normalize_block
+
+        for raw in ["  a  b   c ", "hello world", "x", "  one  ",
+                    "Tr4ili.ng, punct!  here  "]:
+            text, _, _ = normalize_block(raw, 0.9)
+            words = [w for _, _, _, w in word_spans(text)]
+            assert " ".join(words) == text
