@@ -151,7 +151,12 @@ _TOKEN_RE = _re.compile(
     r"|<![^>]*>"                       # doctype / declaration
     r"|<\?[^>]*>"                      # processing instruction
     r"|<(/?)([a-zA-Z][a-zA-Z0-9.:_-]*)"  # open/close tag name
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"  # quote-aware attrs
+    # quote-aware attrs — POSSESSIVE and length-bounded: a pathological
+    # "<p aaaa…" with no closing ">" must fail in O(bound), not backtrack
+    # over megabytes (a 1 MB such payload would otherwise stall the task;
+    # tags with >4 KB of attributes are treated as text, divergence from
+    # HTMLParser on such input is accepted per test_segment_equiv.py)
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"']){0,4096}+)"
     r"(/?)>",
     _re.DOTALL,
 )

@@ -77,3 +77,30 @@ def test_rawtext_and_misnesting(frag):
     html = (f"<body><script>var a = '<p>not content</p>';</script>"
             f"<div>{frag}</div><p>tail</p></body>")
     assert blocks_key(segment(html)) == blocks_key(segment_spec(html))
+
+
+class TestPathologicalPayloads:
+    def test_unclosed_tag_flood_is_time_bounded(self):
+        """A payload of '<p aaa…' fragments with no '>' must segment in
+        bounded time (possessive, length-capped attr matching), not
+        backtrack quadratically."""
+        import time
+
+        from ocrd_calamari_spark.kernel.segment import segment
+
+        bad = ("<p " + "a" * 40) * 5000 + "tail"
+        t0 = time.monotonic()
+        segment(bad)
+        assert time.monotonic() - t0 < 10.0
+
+    def test_one_megabyte_page_extracts(self):
+        from ocrd_calamari_spark.config import ExtractConfig
+        from ocrd_calamari_spark.kernel.extract import extract_page
+
+        body = "".join(f"<p>{'word ' * 200}end.</p>" for _ in range(900))
+        html = f'<html><head><meta charset="utf-8"></head><body><article>{body}</article></body></html>'.encode()
+        assert len(html) > 900_000
+        row = extract_page("u", html, None, "en", ExtractConfig())
+        assert row["error"] is None
+        assert row["n_blocks"] == 900
+        assert len(row["text"]) > 800_000
