@@ -542,6 +542,50 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_extract_sequence_voter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voter variant (sequence_voter ≈ majority vote) through the driver —
+    A5 enum coverage (reference ocrd-tool.json:32-37)."""
+    out = extract_df(
+        pages_from_documents(spark, sf_dir),
+        ExtractConfig(voter="sequence_voter"),
+        with_lineage=False,
+        repartition=False,
+    )
+    return out.select("url", "text", "conf", "n_blocks", "error").orderBy("url")
+
+
+def q_extract_glyph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glyph level with ranked alternatives (W1) through the driver."""
+    out = extract_df(
+        pages_from_documents(spark, sf_dir).limit(100),
+        ExtractConfig(textequiv_level="glyph", glyph_conf_cutoff=0.01),
+        with_lineage=False,
+        repartition=False,
+    )
+    g = out.where(F.col("error").isNull()).select(
+        "url", F.explode_outer("glyphs").alias("g")
+    )
+    return g.select(
+        "url",
+        F.col("g.glyph_id").alias("glyph_id"),
+        F.col("g.start").alias("start"),
+        F.col("g.end").alias("end"),
+        F.size("g.alts").alias("n_alts"),
+        F.element_at("g.alts", 1)["text"].alias("top_text"),
+    ).orderBy("url", "start")
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct-count sketch per lang (custom sketch)."""
+    from ocrd_calamari_spark.functions.sketch import kmv_distinct_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    est = kmv_distinct_estimate(d, "lang", "text", k=64)
+    return est.select(
+        "lang", F.round("distinct_est", 2).alias("distinct_est"), "observed_k"
+    ).orderBy("lang")
+
+
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over embeddings ∪ perturbed copies."""
     from ocrd_calamari_spark.functions.simsearch import embedding_near_dupes
@@ -845,6 +889,9 @@ QUERIES = {
     # extraction family (rows-only)
     "extract_pages": q_extract_pages,
     "extract_word_spans": q_extract_word_spans,
+    "extract_sequence_voter": q_extract_sequence_voter,
+    "extract_glyph_spans": q_extract_glyph_spans,
+    "kmv_distinct": q_kmv_distinct,
     # relational, oracled
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project": q_filter_project,

@@ -213,3 +213,28 @@ class TestResize:
         from ocrd_calamari_spark.functions.multimodal import _decode_one
         w, h, _, _ = _decode_one(out[0].payload, "fake")
         assert (w, h) == (256, 128)
+
+
+class TestSketches:
+    def test_kmv_estimate_accuracy_and_determinism(self, spark):
+        from ocrd_calamari_spark.functions.sketch import (
+            hll_distinct, kmv_distinct_estimate,
+        )
+
+        rows = [(i, "g", f"value-{i % 700}") for i in range(3000)]
+        df = spark.createDataFrame(rows, ["i", "grp", "v"])
+        est = kmv_distinct_estimate(df, "grp", "v", k=64).collect()[0]
+        assert abs(est.distinct_est - 700) / 700 < 0.30  # k=64 → ~12% rsd
+        est2 = kmv_distinct_estimate(df, "grp", "v", k=64).collect()[0]
+        assert est.distinct_est == est2.distinct_est  # deterministic
+        hll = hll_distinct(df, "grp", "v").collect()[0]
+        assert abs(hll.approx_distinct - 700) / 700 < 0.10
+
+    def test_kmv_exact_below_k(self, spark):
+        from ocrd_calamari_spark.functions.sketch import kmv_distinct_estimate
+
+        df = spark.createDataFrame(
+            [(i, "g", f"v{i % 10}") for i in range(100)], ["i", "grp", "v"]
+        )
+        est = kmv_distinct_estimate(df, "grp", "v", k=64).collect()[0]
+        assert est.distinct_est == 10.0  # fewer than k distinct → exact
