@@ -131,10 +131,13 @@ def q_extract_word_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter → hash agg (map-side partial)."""
+    # timestamp_ntz literals: the parquet columns are TIMESTAMP_NTZ;
+    # a TIMESTAMP literal would coerce through the session timezone and
+    # shift the predicate under non-UTC driver sessions
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     g = (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).alias("_sq"),
@@ -264,7 +267,7 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left anti join — the golden-comparison shape (SURVEY.md §2.7)."""
     o = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     c = _t(spark, sf_dir, "customer")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
@@ -753,7 +756,7 @@ GROUP BY r_name ORDER BY r_name
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left semi join: customers having at least one 1998+ order."""
     o = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     c = _t(spark, sf_dir, "customer")
     return (
