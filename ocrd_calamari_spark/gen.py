@@ -160,8 +160,9 @@ def gen_pages(n: int, seed: int = SEED, big_page_every: int = 0) -> pd.DataFrame
         else:
             html = _page_html(rng, lang, case, i)
         if big_page_every and i > 0 and i % big_page_every == 0:
+            # ~1 MB page (FIXTURES.md skew case)
             body = "".join(
-                f"<p>{_paragraph(rng, lang, 6)}</p>" for _ in range(400)
+                f"<p>{_paragraph(rng, lang, 6)}</p>" for _ in range(2600)
             )
             html = (f'<html><head><meta charset="utf-8"></head><body>'
                     f"<article>{body}</article></body></html>").encode("utf-8")

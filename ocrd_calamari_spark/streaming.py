@@ -17,14 +17,6 @@ from ocrd_calamari_spark.config import ExtractConfig
 from ocrd_calamari_spark.kernel.extract import make_map_fn
 from ocrd_calamari_spark.schema import KERNEL_INPUT_COLS, OUTPUT_SCHEMA, PAGES_SCHEMA
 
-# OUTPUT_SCHEMA minus lineage (file-source streaming carries its own
-# per-batch progress in the checkpoint; lineage columns stay batch-only).
-_STREAM_SCHEMA = "struct<" + ",".join(
-    f"{f.name}:{f.dataType.simpleString()}" for f in OUTPUT_SCHEMA.fields
-    if f.name != "lineage"
-) + ">"
-
-
 def read_pages_stream(spark: SparkSession, in_dir: str,
                       max_files_per_trigger: int = 8) -> DataFrame:
     """File-source stream of pages parquet drops (schema fixed, no inference)."""
