@@ -83,15 +83,18 @@ def _map_fn_with_lineage(cfg: ExtractConfig, snapshot_id: int | None,
     def _fn(batches):
         for pdf in batches:
             out = extract_batch(pdf, cfg)
-            files = pdf["_src_file"].values if "_src_file" in pdf else [None] * len(pdf)
-            parts = pdf["_part_id"].values if "_part_id" in pdf else [None] * len(pdf)
+            n = len(pdf)
+            files = pdf["_src_file"].values if "_src_file" in pdf else [None] * n
+            rows = pdf["_src_row"].values if "_src_row" in pdf else [None] * n
+            parts = pdf["_part_id"].values if "_part_id" in pdf else [None] * n
             out["lineage"] = [
                 {
                     "snapshot_id": snapshot_id,
                     "file": f,
+                    "row_index": int(r) if r is not None else None,
                     "part_id": int(p) if p is not None else None,
                 }
-                for f, p in zip(files, parts)
+                for f, r, p in zip(files, rows, parts)
             ]
             if accs is not None:
                 accs["docs"].add(len(out))
@@ -145,7 +148,8 @@ def extract_df(
         if "_part_id" not in sel.columns:
             sel = with_part_id(sel, 1 << 14)
         sel = sel.withColumn("_src_file", F.col("_metadata.file_path"))
-        cols = cols + ["_src_file", "_part_id"]
+        sel = sel.withColumn("_src_row", F.col("_metadata.row_index"))
+        cols = cols + ["_src_file", "_src_row", "_part_id"]
     sel = sel.select(*cols)
     if repartition:
         host = F.parse_url(F.col("url"), F.lit("HOST"))
@@ -244,16 +248,22 @@ def run_extraction(
         chunk_dir = os.path.join(data_dir, "chunk=%d" % chunk_id)
         result.write.mode("overwrite").parquet(chunk_dir)
         # cheap committed-output scan for exact counters (column-pruned)
-        counts = (
-            spark.read.parquet(chunk_dir)
-            .agg(
-                F.count("*").alias("rows"),
-                F.sum(F.col("error").isNotNull().cast("long")).alias("failed"),
-                F.sum(F.col("overwrote").cast("long")).alias("overwrote"),
-                F.sum(F.col("raw_charset").cast("long")).alias("raw"),
-            )
-            .collect()[0]
-        )
+        committed = spark.read.parquet(chunk_dir)
+        counts = committed.agg(
+            F.count("*").alias("rows"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("failed"),
+            F.sum(F.col("overwrote").cast("long")).alias("overwrote"),
+            F.sum(F.col("raw_charset").cast("long")).alias("raw"),
+        ).collect()[0]
+        # per-file row ranges — the "(snapshot-id, file, row-range)"
+        # lineage record the north_star requires per completed partition
+        file_ranges = [
+            {"file": r["file"], "row_lo": r["lo"], "row_hi": r["hi"]}
+            for r in committed.groupBy(F.col("lineage.file").alias("file"))
+            .agg(F.min("lineage.row_index").alias("lo"),
+                 F.max("lineage.row_index").alias("hi"))
+            .collect()
+        ]
         manifest.commit(
             {
                 "chunk_id": chunk_id,
@@ -263,6 +273,7 @@ def run_extraction(
                 "failed": counts["failed"] or 0,
                 "overwrote": counts["overwrote"] or 0,
                 "raw_charset": counts["raw"] or 0,
+                "files": file_ranges,
             }
         )
         n_rows_total += counts["rows"]

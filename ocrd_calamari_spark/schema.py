@@ -78,10 +78,12 @@ GLYPH_TYPE = StructType(
     ]
 )
 
-LINEAGE_TYPE = StructType(  # per-partition lineage (north_star)
-    [
+LINEAGE_TYPE = StructType(  # per-partition lineage (north_star:
+    [                       # snapshot-id, file, row-range)
         StructField("snapshot_id", LongType(), True),
         StructField("file", StringType(), True),
+        StructField("row_index", LongType(), True),  # position within file;
+        # the manifest aggregates these into per-file (row_lo, row_hi)
         StructField("part_id", IntegerType(), True),
     ]
 )

@@ -76,6 +76,7 @@ class TestGolden:
     def test_lineage_populated(self, spark_result):
         ln = spark_result["lineage"].iloc[0]
         assert ln["file"] is not None and ln["part_id"] is not None
+        assert ln["row_index"] is not None
 
 
 class TestConfigMatrix:

@@ -49,8 +49,14 @@ class TestResume:
         parts = sorted(p for r in recs.values() for p in r["part_ids"])
         assert parts == list(range(16))  # every bucket exactly once
         out = read_output(spark, d)
-        with_lineage = out.where(F.col("lineage.file").isNotNull()).count()
+        with_lineage = out.where(F.col("lineage.file").isNotNull()
+                                 & F.col("lineage.row_index").isNotNull()).count()
         assert with_lineage == out.count()
+        # manifest carries per-file row ranges (north_star: row-range)
+        for rec in recs.values():
+            assert rec["files"], rec["chunk_id"]
+            for fr in rec["files"]:
+                assert fr["row_lo"] is not None and fr["row_hi"] >= fr["row_lo"]
 
     def test_metrics_counters(self, out_single):
         _, metrics = out_single
