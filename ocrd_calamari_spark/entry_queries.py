@@ -559,8 +559,13 @@ def q_extract_sequence_voter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_glyph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Glyph level with ranked alternatives (W1) through the driver."""
+    # deterministic subset by key — LIMIT without ORDER BY would pick
+    # partition-order-dependent rows
+    pages = pages_from_documents(spark, sf_dir).where(
+        F.element_at(F.split(F.col("url"), "/d/"), 2).cast("long") < 100
+    )
     out = extract_df(
-        pages_from_documents(spark, sf_dir).limit(100),
+        pages,
         ExtractConfig(textequiv_level="glyph", glyph_conf_cutoff=0.01),
         with_lineage=False,
         repartition=False,
