@@ -86,3 +86,28 @@ class TestMidWriteKill:
         out = read_output(spark, d)
         assert out.count() == out.select("url").distinct().count()
         assert m1["rows_this_run"] + m2["rows_this_run"] == m2["rows_total"]
+
+
+class TestPartitionPruning:
+    def test_since_until_prunes_and_completes(self, spark, pages_parquet,
+                                              tmp_path_factory):
+        """Time-window pruning through the full resumable pipeline (the
+        days(warc_ts) partition-pruning path on Iceberg)."""
+        from datetime import datetime
+
+        d = str(tmp_path_factory.mktemp("pruned"))
+        m = run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=2,
+                           since="2024-06-05 00:00:00",
+                           until="2024-06-15 00:00:00")
+        assert m["complete"]
+        out = read_output(spark, d)
+        n = out.count()
+        assert 0 < n < 300  # strict subset of the 300-row corpus
+        # all output rows belong to the window (join back to input)
+        src = spark.read.parquet(pages_parquet).select("url", "warc_ts")
+        joined = out.join(src, "url")
+        lo = datetime(2024, 6, 5)
+        hi = datetime(2024, 6, 15)
+        bad = joined.where((F.col("warc_ts") < F.lit(lo)) |
+                           (F.col("warc_ts") >= F.lit(hi))).count()
+        assert bad == 0
