@@ -551,16 +551,90 @@ def _with_injected_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup, DuckDB-oracled against ALL-PAIRS exact Jaccard.
+
+    bands=32 (2 rows/band) makes the S-curve recall-biased: the miss
+    probability for a true pair at the 0.7 threshold is (1-0.7²)³² ≈ 4e-10,
+    so LSH output == all-pairs ground truth on any realistic fixture and
+    the precision work is done by the (now candidate-pruned) verify stage.
+    """
     corpus = _with_injected_dups(spark, sf_dir)
-    pairs = minhash_dedup(corpus, threshold=0.7)
+    pairs = minhash_dedup(corpus, threshold=0.7, n_hashes=64, bands=32)
     return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+        "id_a",
+        "id_b",
+        # floor-quantize, not round(): round() half-boundary modes differ
+        # between Spark and DuckDB
+        F.expr("cast(floor(jaccard * 1e4 + 5e-1) / 1e4 as double)").alias(
+            "jaccard"
+        ),
     ).orderBy("id_a", "id_b")
 
 
+MINHASH_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+  FROM documents WHERE doc_id < 40
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tokens[i:i+2], ' ')
+                        for i in range(1, greatest(len(tokens)-2, 1)+1)]) AS s
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM corpus)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) * 1e0
+           / len(list_distinct(list_concat(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(floor(j * 1e4 + 5e-1) / 1e4 AS DOUBLE) AS jaccard
+FROM pairs WHERE j >= 7e-1 ORDER BY id_a, id_b
+"""
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with the cross-engine md5 token hash so DuckDB
+    reproduces the signatures bit-for-bit; pigeonhole chunk blocking has
+    exact recall at Hamming ≤ 3, so blocked output == all-pairs oracle."""
+    from ocrd_calamari_spark.functions.dedup import PORTABLE_TOKEN_HASH_SQL
+
     corpus = _with_injected_dups(spark, sf_dir)
-    return simhash_near_dupes(corpus, max_hamming=3).orderBy("id_a", "id_b")
+    out = simhash_near_dupes(
+        corpus, max_hamming=3, token_hash=PORTABLE_TOKEN_HASH_SQL
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+SIMHASH_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+  FROM documents WHERE doc_id < 40
+), sigs AS (
+  SELECT doc_id,
+    CAST(list_sum([
+      CASE WHEN CAST(list_sum([ ((h >> i) & 1) * 2 - 1 for h in hs ]) AS BIGINT) > 0
+           THEN 1::BIGINT << i ELSE 0::BIGINT END
+      for i in range(0, 64)
+    ]) AS BIGINT) AS sig
+  FROM (
+    SELECT doc_id,
+           [ ('0x' || substr(md5(t), 1, 15))::BIGINT
+             for t in list_distinct(string_split_regex(trim(lower(text)), ' +')) ] AS hs
+    FROM corpus)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,7 +643,37 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"), "text"
     )
     corpus = d.unionByName(dups)
-    return exact_duplicates(corpus).orderBy("fp")
+    # doc_ids is array<bigint>; the driver canonicalizer sorts columns and
+    # cannot hash lists — project the (already-sorted) array to a CSV string
+    # so every output column is scalar and the md5 fingerprint oracles in
+    # DuckDB exactly.
+    return (
+        exact_duplicates(corpus)
+        .select(
+            "fp",
+            "n_dups",
+            F.concat_ws(
+                ",", F.transform("doc_ids", lambda x: x.cast("string"))
+            ).alias("doc_ids"),
+        )
+        .orderBy("fp")
+    )
+
+
+EXACT_DUP_GROUPS_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 25
+)
+SELECT substr(md5(text), 1, 16) AS fp,
+       COUNT(*) AS n_dups,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM corpus
+GROUP BY 1
+HAVING COUNT(*) > 1
+ORDER BY fp
+"""
 
 
 def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,6 +783,26 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
     ).orderBy("id_a", "id_b")
+
+
+# All-pairs ground truth: the injected copies are SCALED (×1.001), which
+# preserves direction exactly → identical hyperplane signs → the LSH blocks
+# have exact recall on them; no natural pair reaches 0.98 on this fixture,
+# so blocked output == all-pairs oracle.
+EMB_NEAR_DUP_SQL = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         [x * 1.001e0 for x in CAST(embedding AS DOUBLE[])] AS v
+  FROM embeddings WHERE vec_id < 30
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 98e-2
+ORDER BY id_a, id_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1037,8 +1161,12 @@ ORACLES = {
     "q5_revenue_by_region": Q5_SQL,
     "semi_join": SEMI_JOIN_SQL,
     "dense_rank_ntile": DENSE_RANK_SQL,
+    "exact_dup_groups": EXACT_DUP_GROUPS_SQL,
     "lag_delta": LAG_DELTA_SQL,
     "set_union": SET_UNION_SQL,
     "cosine_topk_pandas": COSINE_TOPK_SQL,
     "bpe_token_count": BPE_TOKEN_SQL,
+    "minhash_dedup": MINHASH_SQL,
+    "simhash_dedup": SIMHASH_SQL,
+    "embedding_near_dupes": EMB_NEAR_DUP_SQL,
 }

@@ -144,9 +144,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard (array_intersect /
-    array_union on hashed shingle sets) — broadcast-sized candidate list
-    joins back to shingles, quadratic work only on candidates."""
-    sh = df.select(
+    array_union on hashed shingle sets) — quadratic work only on candidates.
+
+    Scale-critical: the corpus is semi-join-pruned to ids that appear in
+    ``candidates`` BEFORE shingling, so only candidate documents re-shingle
+    and only their shingle arrays ever shuffle.  Without the prune, every
+    document's full hashed-shingle array shuffles through both verify joins
+    even when candidates are 0.01% of rows — a 100 TB killer (and 47% of
+    the sf0.1 bench suite in round 1).  The candidate-id set comes out of a
+    shuffle, so AQE sizes it at runtime and picks a broadcast semi-join when
+    it is small (the expected case).
+    """
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh"),
     )
@@ -173,28 +187,52 @@ def minhash_dedup(
     threshold: float = 0.8,
     n_hashes: int = 64,
     bands: int = 16,
+    persist_candidates: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact Jaccard."""
+    """Near-dup pairs: LSH candidates verified by exact Jaccard.
+
+    The candidate-pair table feeds the verify stage three times (id_a set,
+    id_b set, final pair join); ``persist_candidates`` caches it so the
+    full-corpus signature pass runs exactly once.  Candidates are tiny
+    relative to the corpus (pairs of ids), so the cache is bounded.
+    """
     cands = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands)
+    if persist_candidates:
+        cands = cands.persist()
     return ngram_jaccard_pairs(df, cands, id_col, text_col, threshold=threshold)
 
 
 # ---------------------------------------------------------------------------
 # SimHash: 64-bit signature; near-dups = small Hamming distance.
 # ---------------------------------------------------------------------------
-def simhash(text_col: str) -> "F.Column":
+# Cross-engine 60-bit token hash: identical in Spark
+# (conv(md5 hex prefix)) and DuckDB (('0x'||substr(md5,1,15))::BIGINT).
+# 15 hex chars = 60 bits, so bits 60-63 are always 0 — every simhash built
+# on it has those bits unset in BOTH engines (all tokens vote -1 there),
+# which also keeps the signature strictly positive (no sign-bit games).
+PORTABLE_TOKEN_HASH_SQL = (
+    "cast(conv(substring(md5(cast({t} as binary)), 1, 15), 16, 10) as bigint)"
+)
+PORTABLE_TOKEN_HASH_DUCKDB = "('0x' || substr(md5({t}), 1, 15))::BIGINT"
+
+
+def simhash(text_col: str, token_hash: str = "xxhash64({t})") -> "F.Column":
     """64-bit SimHash from token hashes, entirely in JVM expressions.
 
     Single pass over the token-hash array: the fold accumulates 64 signed
     bit-sums (+1 if bit i of the token hash is set, else -1), the finish
     lambda packs sign bits into one i64.  Written as a SQL expression
     because shiftright with a *column* shift amount is SQL-only.
+
+    ``token_hash``: SQL template for the per-token hash ({t} = token).
+    Default xxhash64 (fastest); pass ``PORTABLE_TOKEN_HASH_SQL`` for the
+    md5-based hash DuckDB can reproduce bit-for-bit (oracle parity).
     """
     return F.expr(
         f"""
         aggregate(
           transform(array_distinct(split(trim(lower({text_col})), ' +')),
-                    t -> xxhash64(t)),
+                    t -> {token_hash.format(t='t')}),
           array_repeat(cast(0 as bigint), 64),
           (acc, h) -> zip_with(acc, sequence(0, 63),
                                (a, i) -> a + (shiftright(h, i) & 1) * 2 - 1),
@@ -209,13 +247,15 @@ def simhash(text_col: str) -> "F.Column":
 
 
 def simhash_near_dupes(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                       text_col: str = "text", max_hamming: int = 3,
+                       token_hash: str = "xxhash64({t})") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k.
 
     Blocking: split the 64-bit signature into 4 × 16-bit chunks; any pair
-    within Hamming ≤ 3 shares at least one exact chunk (pigeonhole) → join
-    per chunk, verify with bit_count(xor)."""
-    sigs = df.select(F.col(id_col), simhash(text_col).alias("sig"))
+    within Hamming ≤ 3 shares at least one exact chunk (pigeonhole — exact
+    recall, not probabilistic) → join per chunk, verify with
+    bit_count(xor)."""
+    sigs = df.select(F.col(id_col), simhash(text_col, token_hash).alias("sig"))
     # shiftright with a column shift amount is SQL-only → expr
     chunks = sigs.select(
         id_col,
