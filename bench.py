@@ -7,7 +7,11 @@ Phase 1  builds a deterministic pages corpus (documents.text wrapped in
 Phase 2  times the headline queries at $SPARK_GRAFT_SF_DIR (default
          /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32),
          including the full extraction pipeline (scan → host-salted
-         repartition → mapInPandas).
+         repartition → mapInPandas).  Each query first runs once at
+         sf0.001 (untimed) to exclude JVM codegen/JIT warm-up — the
+         steady-state number is what projects to a long-running cluster —
+         then the minimum of SPARK_GRAFT_QUERY_TRIALS (default 2) timed
+         runs is reported (this box has intermittent external load).
 Phase 3  north_rule scaling criterion: the same scan→extract job at
          local[SCALE_LO] vs local[CPUS] on the identical materialized
          corpus, best-of-SPARK_GRAFT_TRIALS (default 3) per leg →
@@ -38,6 +42,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "24"))
 TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -131,11 +136,24 @@ def main():
         ext_sec, n_docs = time_extraction(spark, corpus_dir, CPUS, repartition=True)
         results["extract_pages"] = round(ext_sec, 3)
         docs_per_sec = round(n_docs / ext_sec, 1)
+        # untimed warm pass at the smallest sf: compiles/JITs every query's
+        # codegen paths so timed runs measure steady-state, not first-run
+        warm_sf = os.path.dirname(SF_DIR.rstrip("/")) + "/sf0.001"
+        if os.path.isdir(warm_sf):
+            for name in HEADLINE:
+                spark.catalog.clearCache()
+                QUERIES[name](spark, warm_sf).write.format("noop").mode(
+                    "overwrite").save()
         for name in HEADLINE:
             fn = QUERIES[name]
-            t0 = time.monotonic()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            results[name] = round(time.monotonic() - t0, 3)
+            best = None
+            for _ in range(QUERY_TRIALS):
+                spark.catalog.clearCache()  # dedup persists must not carry
+                t0 = time.monotonic()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                sec = time.monotonic() - t0
+                best = sec if best is None else min(best, sec)
+            results[name] = round(best, 3)
         spark.stop()
 
         # ---- phase 3: N vs 4N scaling on the identical corpus ----

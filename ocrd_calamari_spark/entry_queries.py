@@ -539,7 +539,15 @@ FROM ranked WHERE rank <= 10
 # Deterministic near-dups are injected by unioning mutated copies.
 # ---------------------------------------------------------------------------
 def _with_injected_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # The sf documents table is ONE parquet file → one scan split; without
+    # an up-front repartition every per-document stage (shingling, minhash
+    # fold, simhash fold) serializes onto a single core.  At production
+    # scale the corpus arrives pre-split; this mirrors that shape.
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(4 * spark.sparkContext.defaultParallelism, "doc_id")
+    )
     dups = (
         d.where(F.col("doc_id") < 40)
         .select(

@@ -95,14 +95,26 @@ def minhash_lsh_candidates(
     bucket join.  Only (band_key, id) pairs shuffle; the O(n²) blowup is
     confined to same-bucket groups (self-join on band_key with id< id).
     """
-    rows = n_hashes // bands
-    sig = (
+    banded = _banded_keys(
         df.select(
             F.col(id_col),
-            minhash_signature(word_shingles(text_col, shingle_k), n_hashes).alias("sig"),
-        )
+            minhash_signature(
+                word_shingles(text_col, shingle_k), n_hashes
+            ).alias("sig"),
+        ),
+        id_col, n_hashes, bands,
     )
-    banded = sig.select(
+    # The self-join references banded twice; cache it so the expensive
+    # signature pass runs once (compact: 3 scalar cols per (doc, band)).
+    banded = banded.persist()
+    return _bucket_pairs(banded, id_col, ["band", "key"])
+
+
+def _banded_keys(sig_df: DataFrame, id_col: str, n_hashes: int,
+                 bands: int) -> DataFrame:
+    """(id, band, key): one bucket key per signature band."""
+    rows = n_hashes // bands
+    return sig_df.select(
         id_col,
         F.explode(
             F.transform(
@@ -119,19 +131,61 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    left = banded.alias("l")
-    right = banded.alias("r")
+
+
+def _bucket_pairs(bucketed: DataFrame, id_col: str,
+                  bucket_cols: list[str]) -> DataFrame:
+    """Distinct within-bucket id pairs via self-join (id_a < id_b).
+
+    A self-join distributes the per-bucket quadratic blowup across tasks —
+    a collect_list + in-row pair explosion would build O(bucket²) arrays in
+    single rows, which dies on skewed buckets.  The joined input must be
+    cheap to scan twice (cached or materialized) or its lineage recomputes.
+    """
+    left, right = bucketed.alias("l"), bucketed.alias("r")
+    cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        left.join(right, cond)
         .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
         )
         .distinct()
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_k: int = 3) -> DataFrame:
+    """(id, sh): distinct hashed k-shingle set per document."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh"),
+    )
+
+
+def jaccard_on_pairs(pairs: DataFrame, shingles: DataFrame,
+                     id_col: str = "doc_id",
+                     threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard for (id_a, id_b) pairs given a shingle table.
+
+    ``pairs`` is small (LSH candidates) → AQE broadcasts it on both joins,
+    so the shingle table streams through without shuffling its arrays.
+    """
+    a = shingles.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingles.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -160,24 +214,10 @@ def ngram_jaccard_pairs(
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = df.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh"),
+    sh = shingle_table(
+        df.join(cand_ids, id_col, "left_semi"), id_col, text_col, shingle_k
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        candidates.join(a, "id_a").join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return jaccard_on_pairs(candidates, sh, id_col, threshold)
 
 
 def minhash_dedup(
@@ -187,19 +227,23 @@ def minhash_dedup(
     threshold: float = 0.8,
     n_hashes: int = 64,
     bands: int = 16,
-    persist_candidates: bool = True,
+    shingle_k: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact Jaccard.
+    """Near-dup pairs: banded-LSH candidates verified by exact Jaccard.
 
-    The candidate-pair table feeds the verify stage three times (id_a set,
-    id_b set, final pair join); ``persist_candidates`` caches it so the
-    full-corpus signature pass runs exactly once.  Candidates are tiny
-    relative to the corpus (pairs of ids), so the cache is bounded.
+    Two corpus scans by design: pass 1 folds shingles into signatures
+    inline (shingle arrays are never materialized — persisting them costs
+    more than recomputing: they are larger than the text itself), pass 2
+    re-shingles ONLY the semi-join-pruned candidate documents.  The one
+    cached intermediate is the compact (id, band, key) table inside
+    ``minhash_lsh_candidates``, which the pair self-join reads twice.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands)
-    if persist_candidates:
-        cands = cands.persist()
-    return ngram_jaccard_pairs(df, cands, id_col, text_col, threshold=threshold)
+    # candidates feed the verify three times (both id projections + the
+    # pair join) — tiny table, cache it
+    cands = minhash_lsh_candidates(df, id_col, text_col, n_hashes, bands,
+                                   shingle_k).persist()
+    return ngram_jaccard_pairs(df, cands, id_col, text_col, shingle_k,
+                               threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +299,11 @@ def simhash_near_dupes(df: DataFrame, id_col: str = "doc_id",
     within Hamming ≤ 3 shares at least one exact chunk (pigeonhole — exact
     recall, not probabilistic) → join per chunk, verify with
     bit_count(xor)."""
-    sigs = df.select(F.col(id_col), simhash(text_col, token_hash).alias("sig"))
+    # Cache the per-doc signature (2 scalar cols) so the simhash fold runs
+    # once: the chunk self-join below references it twice.
+    sigs = df.select(
+        F.col(id_col), simhash(text_col, token_hash).alias("sig")
+    ).persist()
     # shiftright with a column shift amount is SQL-only → expr
     chunks = sigs.select(
         id_col,
@@ -268,6 +316,10 @@ def simhash_near_dupes(df: DataFrame, id_col: str = "doc_id",
         ).alias("c"),
     ).select(id_col, "sig", F.col("c.chunk_no").alias("chunk_no"),
              F.col("c.chunk").alias("chunk"))
+    # Self-join, not collect_list + in-row explosion: simhash chunk buckets
+    # are heavy-tailed (hundreds of near-identical short docs share a
+    # 16-bit chunk), and a join spreads the per-bucket quadratic work
+    # across tasks instead of building O(bucket²) arrays in single rows.
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(
