@@ -709,8 +709,10 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # train_rows caps the driver-side k-means sample (deterministic hash
+    # mod derived from count(); fixture is small so every row qualifies)
     out = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4,
-                   sample_mod=4)
+                   train_rows=512)
     return out.select(
         "query_id", "vec_id", F.round("cosine_sim", 4).alias("cosine_sim"),
         "rank",
@@ -775,6 +777,150 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         "lang", F.round("distinct_est", 2).alias("distinct_est"), "observed_k"
     ).orderBy("lang")
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per lang — THE distinct-count
+    answer at 10^12 rows (fixed-size sketch, map-side mergeable).  Estimate
+    is Spark-implementation-specific → rows-only check."""
+    from ocrd_calamari_spark.functions.sketch import hll_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    return hll_distinct(d, "lang", "text", rsd=0.02).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal fixture + queries: opaque BINARY payloads with typed headers,
+# synthesized deterministically from the documents table entirely JVM-side
+# (magic + two uint32-BE header fields + text-derived body).
+# ---------------------------------------------------------------------------
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media table (media_id, kind, payload, meta): the
+    image/audio/video byte-payload convention of
+    functions/multimodal.py (4-byte magic, 2 × uint32 BE, opaque body)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(4 * spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    magic = (
+        F.when(kind == "image", F.lit(b"IMG0"))
+        .when(kind == "audio", F.lit(b"AUD0"))
+        .otherwise(F.lit(b"VID0"))
+    )
+    a = (F.col("doc_id") % 640 + 16).cast("int")
+    b = (F.col("doc_id") % 480 + 16).cast("int")
+
+    def _be32(c):  # 4-byte big-endian, JVM-side
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    payload = F.concat(
+        magic, _be32(a), _be32(b),
+        F.substring(F.col("text"), 1, 64).cast("binary"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.concat(F.lit("synth://doc/"), F.col("doc_id")).alias("source_url"),
+            F.lit("application/octet-stream").alias("content_type"),
+        ).alias("meta"),
+    )
+
+
+def q_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas media decode over the synthetic payloads.  The header
+    fields are doc_id-derived, so DuckDB can reproduce the decoded output
+    exactly from the documents table — a full oracle for the Arrow/UDF
+    plumbing (schema, batching, per-row error policy)."""
+    from ocrd_calamari_spark.functions.multimodal import decode_media
+
+    out = decode_media(media_from_documents(spark, sf_dir), backend="fake")
+    return out.select(
+        "media_id", "kind", "width", "height", "n_bytes", "error"
+    ).orderBy("media_id")
+
+
+DECODE_MEDIA_SQL = """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+       CAST(doc_id % 480 + 16 AS INTEGER) AS height,
+       CAST(12 + strlen(substr(text, 1, 64)) AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents ORDER BY media_id
+"""
+
+
+def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through mapInPandas: aspect-preserving header rewrite +
+    proportional body truncation; non-image rows become error rows (the
+    per-row ignore_errors policy).  Fully DuckDB-oracled via the same
+    IEEE-double scale math."""
+    from ocrd_calamari_spark.functions.multimodal import resize_images
+
+    out = resize_images(media_from_documents(spark, sf_dir), max_side=256)
+    return out.select(
+        "media_id", "width", "height",
+        F.octet_length("payload").cast("bigint").alias("n_payload_bytes"),
+        "error",
+    ).orderBy("media_id")
+
+
+RESIZE_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+         doc_id % 640 + 16 AS a, doc_id % 480 + 16 AS b,
+         strlen(substr(text, 1, 64)) AS blen
+  FROM documents
+), s AS (
+  SELECT *, least(1e0, 256e0 / greatest(a, b, 1)) AS scale FROM m
+)
+SELECT media_id,
+       CASE WHEN kind = 'image'
+            THEN CAST(greatest(1, CAST(trunc(a * scale) AS BIGINT)) AS INTEGER)
+       END AS width,
+       CASE WHEN kind = 'image'
+            THEN CAST(greatest(1, CAST(trunc(b * scale) AS BIGINT)) AS INTEGER)
+       END AS height,
+       CASE WHEN kind = 'image'
+            THEN CAST(12 + (CASE WHEN blen > 0
+                                 THEN greatest(1, CAST(trunc(blen * scale * scale) AS BIGINT))
+                                 ELSE 0 END) AS BIGINT)
+       END AS n_payload_bytes,
+       CASE WHEN kind <> 'image'
+            THEN 'ValueError: not an image: ' || kind
+       END AS error
+FROM s ORDER BY media_id
+"""
+
+
+def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: JVM-side explode of frame stubs per
+    video row (the per-frame decode would attach via decode_media)."""
+    from ocrd_calamari_spark.functions.multimodal import frame_sample_plan
+
+    out = frame_sample_plan(media_from_documents(spark, sf_dir), every_n=30)
+    return out.select(
+        "media_id",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        "ts_offset_sec",
+    ).orderBy("media_id", "frame_no")
+
+
+FRAME_PLAN_SQL = """
+SELECT doc_id AS media_id, f.frame_no AS frame_no,
+       f.frame_no / 3e1 AS ts_offset_sec
+FROM documents, (SELECT unnest(generate_series(0, 119, 30)) AS frame_no) f
+WHERE doc_id % 3 = 2
+ORDER BY media_id, frame_no
+"""
 
 
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,6 +1287,11 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "cosine_topk_pandas": q_cosine_topk_pandas,
     "embedding_near_dupes": q_embedding_near_dupes,
+    # sketches + multimodal
+    "hll_distinct": q_hll_distinct,
+    "decode_media": q_decode_media,
+    "resize_images": q_resize_images,
+    "frame_plan": q_frame_plan,
 }
 
 ORACLES = {
@@ -1177,4 +1328,7 @@ ORACLES = {
     "minhash_dedup": MINHASH_SQL,
     "simhash_dedup": SIMHASH_SQL,
     "embedding_near_dupes": EMB_NEAR_DUP_SQL,
+    "decode_media": DECODE_MEDIA_SQL,
+    "resize_images": RESIZE_SQL,
+    "frame_plan": FRAME_PLAN_SQL,
 }

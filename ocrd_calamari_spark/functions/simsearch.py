@@ -166,7 +166,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    sample_mod: int = 1,
+    train_rows: int = 8192,
     lloyd_iters: int = 5,
     seed: int = 42,
 ) -> DataFrame:
@@ -178,17 +178,27 @@ def ivf_topk(
     hash-sampled training set, fixed Lloyd iteration count — retries and
     resume reproduce the same index.  At 10^9+ rows the ``_cell`` column
     becomes the table's physical partition key and probes prune the scan.
+
+    Driver-memory bound: the k-means training set is hash-sampled to
+    ~``train_rows`` vectors regardless of corpus size — the modulus is
+    derived from a count() (metadata-cheap on parquet/Iceberg), so the
+    collect is ≈ train_rows × dim × 8 bytes (a few MB), never a corpus
+    fraction.  The hash filter keeps the sample deterministic.
     """
     import numpy as np
     import pandas as pd
 
-    # ---- train: hash-sampled subset → driver, few Lloyd iterations ----
-    train = corpus.select(vec_col)
-    if sample_mod > 1:
+    # ---- train: bounded hash-sampled subset → driver, Lloyd iterations ----
+    n_corpus = corpus.count()
+    mod = max(1, n_corpus // max(train_rows, n_centroids))
+    train = corpus
+    if mod > 1:
         train = corpus.where(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
-        ).select(vec_col)
-    X = np.stack(train.toPandas()[vec_col].to_numpy()).astype(np.float64)
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        )
+    X = np.stack(
+        train.select(vec_col).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
     C = Xn[rng.choice(len(Xn), size=min(n_centroids, len(Xn)), replace=False)]

@@ -10,7 +10,9 @@ SF = "/root/testdata/sf0.001"
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 FAST_ORACLED = ["filter_project", "topk_per_lang", "join_revenue",
-                "token_stats", "lang_id", "salted_agg", "json_extract"]
+                "token_stats", "lang_id", "salted_agg", "json_extract",
+                "decode_media", "resize_images", "frame_plan",
+                "exact_dup_groups"]
 
 
 @pytest.fixture(scope="module")
