@@ -118,9 +118,31 @@ def with_part_id(df: DataFrame, n_buckets: int) -> DataFrame:
     """Deterministic work-unit id: pmod(xxhash64(url), n_buckets).
 
     JVM-side xxhash64 — stable across runs/retries, the resume key.
+    NOTE: as a computed column this id cannot prune the scan; prefer a
+    storage-aligned bucket column (``bucket_col`` in run_extraction) so
+    each resume chunk reads only its own files.
     """
     return df.withColumn(
         "_part_id", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def write_bucketed_staging(df: DataFrame, path: str, n_buckets: int,
+                           url_col: str = "url") -> None:
+    """One-pass staging write partitioned by the resume bucket — the
+    parquet stand-in for Iceberg's ``bucket(N, url)`` partition transform
+    (SCALE.md input layout).  A table laid out this way lets
+    ``run_extraction(..., bucket_col='bucket')`` prune each chunk to its
+    own partition directories instead of re-scanning the full source per
+    chunk (64 chunks × 100 TB otherwise)."""
+    (
+        df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
     )
 
 
@@ -134,12 +156,19 @@ def extract_df(
     with_lineage: bool = True,
     repartition: bool = True,
     accumulators: dict | None = None,
+    lineage_cols: tuple[str, str] = ("_metadata.file_path",
+                                     "_metadata.row_index"),
 ) -> DataFrame:
     """The core logical plan: pages DataFrame → extraction output DataFrame.
 
     Column-prunes to exactly the kernel inputs (+ lineage cols) before the
     UDF so the scan reads only url/html/text/lang; salts Zipf-skewed hosts
     deterministically before repartitioning.
+
+    ``lineage_cols``: (file, row-position) metadata expressions.  The
+    default ``_metadata.*`` exists only on Spark file sources (parquet/
+    orc/csv); Iceberg DSv2 scans expose ``_file`` / ``_pos`` instead —
+    run_extraction selects the right pair from the source scheme.
     """
     cfg = cfg or ExtractConfig()
     cols = list(KERNEL_INPUT_COLS)
@@ -147,8 +176,8 @@ def extract_df(
     if with_lineage:
         if "_part_id" not in sel.columns:
             sel = with_part_id(sel, 1 << 14)
-        sel = sel.withColumn("_src_file", F.col("_metadata.file_path"))
-        sel = sel.withColumn("_src_row", F.col("_metadata.row_index"))
+        sel = sel.withColumn("_src_file", F.expr(lineage_cols[0]))
+        sel = sel.withColumn("_src_row", F.expr(lineage_cols[1]))
         cols = cols + ["_src_file", "_src_row", "_part_id"]
     sel = sel.select(*cols)
     if repartition:
@@ -205,15 +234,41 @@ def run_extraction(
     snapshot_id: int | None = None,
     since=None,
     until=None,
+    bucket_col: str | None = None,
     stop_after_chunks: int | None = None,  # test hook: simulate a kill
 ) -> dict:
     """Resumable chunked extraction job.  Returns a metrics dict
-    (docs/sec, failure counts — BASELINE.json north_star)."""
+    (docs/sec, failure counts — BASELINE.json north_star).
+
+    ``bucket_col``: name of a PHYSICAL bucket column in the source —
+    a parquet ``partitionBy('bucket')`` dir column (write_bucketed_staging)
+    or Iceberg's ``bucket(N, url)`` partition value.  When set, the chunk
+    predicate filters on that column and PRUNES the scan to the chunk's
+    own files; the computed-``_part_id`` fallback is correct but re-reads
+    the full source once per chunk (64× at production defaults).
+    ``n_buckets`` must equal the physical bucket count in that case.
+    """
     import shutil
 
     cfg = cfg or ExtractConfig()
     manifest = Manifest(out_dir)
     done = manifest.completed()
+    # resume sanity: a manifest written under a different bucketing would
+    # silently skip/duplicate buckets reinterpreted under the new hashing
+    for rec in done.values():
+        rec_n = rec.get("n_buckets")
+        if rec_n is not None and rec_n != n_buckets:
+            raise ValueError(
+                f"resume mismatch: manifest written with n_buckets={rec_n}, "
+                f"run requested n_buckets={n_buckets}"
+            )
+        rec_snap = rec.get("snapshot_id")
+        if (rec_snap is not None and snapshot_id is not None
+                and rec_snap != snapshot_id):
+            raise ValueError(
+                f"resume mismatch: manifest pinned snapshot {rec_snap}, "
+                f"run requested {snapshot_id}"
+            )
     done_parts = {p for rec in done.values() for p in rec["part_ids"]}
 
     data_dir = os.path.join(out_dir, "data")
@@ -225,7 +280,18 @@ def run_extraction(
                 shutil.rmtree(os.path.join(data_dir, name))
 
     pages = read_pages(spark, source, snapshot_id=snapshot_id, since=since, until=until)
-    pages = with_part_id(pages, n_buckets)
+    if bucket_col is not None:
+        if bucket_col not in pages.columns:
+            raise ValueError(f"bucket_col {bucket_col!r} not in source "
+                             f"columns {pages.columns}")
+        # physical partition value → the chunk isin() prunes at the scan
+        pages = pages.withColumn("_part_id", F.col(bucket_col).cast("int"))
+    else:
+        pages = with_part_id(pages, n_buckets)
+    lineage_cols = (
+        ("_file", "_pos") if source.startswith("iceberg:")
+        else ("_metadata.file_path", "_metadata.row_index")
+    )
 
     remaining = [p for p in range(n_buckets) if p not in done_parts]
     chunk_size = max(1, -(-len(remaining) // n_chunks)) if remaining else 1
@@ -243,7 +309,7 @@ def run_extraction(
         subset = pages.where(F.col("_part_id").isin(group))
         result = extract_df(
             subset, cfg, num_partitions=num_partitions, snapshot_id=snapshot_id,
-            accumulators=accs,
+            accumulators=accs, lineage_cols=lineage_cols,
         )
         chunk_dir = os.path.join(data_dir, "chunk=%d" % chunk_id)
         result.write.mode("overwrite").parquet(chunk_dir)
@@ -268,6 +334,8 @@ def run_extraction(
             {
                 "chunk_id": chunk_id,
                 "part_ids": group,
+                "n_buckets": n_buckets,
+                "source": source,
                 "snapshot_id": snapshot_id,
                 "rows": counts["rows"],
                 "failed": counts["failed"] or 0,

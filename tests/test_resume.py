@@ -111,3 +111,66 @@ class TestPartitionPruning:
         bad = joined.where((F.col("warc_ts") < F.lit(lo)) |
                            (F.col("warc_ts") >= F.lit(hi))).count()
         assert bad == 0
+
+
+class TestBucketColResume:
+    """Storage-aligned resume: the source is physically partitioned by the
+    bucket column (write_bucketed_staging ≈ Iceberg bucket(N, url)), chunks
+    filter on it, and the output matches the computed-_part_id path."""
+
+    @pytest.fixture(scope="class")
+    def bucketed_src(self, spark, pages_parquet, tmp_path_factory):
+        from ocrd_calamari_spark.pipeline import write_bucketed_staging
+
+        d = str(tmp_path_factory.mktemp("bsrc") / "staging")
+        write_bucketed_staging(spark.read.parquet(pages_parquet), d,
+                               n_buckets=8)
+        return d
+
+    def test_bucketed_kill_and_resume(self, spark, bucketed_src, out_single,
+                                      tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("bres"))
+        m1 = run_extraction(spark, bucketed_src, d, n_buckets=8, n_chunks=4,
+                            bucket_col="bucket", stop_after_chunks=2)
+        assert not m1["complete"]
+        m2 = run_extraction(spark, bucketed_src, d, n_buckets=8, n_chunks=4,
+                            bucket_col="bucket")
+        assert m2["complete"]
+        assert m1["rows_this_run"] + m2["rows_this_run"] == m2["rows_total"]
+        out = read_output(spark, d)
+        assert out.count() == out.select("url").distinct().count() == 300
+        # byte-identical per url to the computed-_part_id single run
+        d1, _ = out_single
+        a = (read_output(spark, d1).select("url", "text", "conf")
+             .toPandas().set_index("url").sort_index())
+        b = (out.select("url", "text", "conf")
+             .toPandas().set_index("url").sort_index())
+        assert a.equals(b)
+
+    def test_missing_bucket_col_raises(self, spark, pages_parquet,
+                                       tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("nocol"))
+        with pytest.raises(ValueError, match="bucket_col"):
+            run_extraction(spark, pages_parquet, d, n_buckets=8,
+                           bucket_col="bucket")
+
+
+class TestManifestGuards:
+    def test_n_buckets_mismatch_fails_fast(self, spark, pages_parquet,
+                                           tmp_path_factory):
+        """Resuming under a different bucket count would reinterpret
+        completed bucket ids — must error, not silently skip/duplicate."""
+        d = str(tmp_path_factory.mktemp("guard"))
+        run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
+                       stop_after_chunks=1)
+        with pytest.raises(ValueError, match="n_buckets=8"):
+            run_extraction(spark, pages_parquet, d, n_buckets=16, n_chunks=4)
+
+    def test_snapshot_mismatch_fails_fast(self, spark, pages_parquet,
+                                          tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("snapguard"))
+        run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
+                       snapshot_id=11, stop_after_chunks=1)
+        with pytest.raises(ValueError, match="snapshot"):
+            run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
+                           snapshot_id=22)
