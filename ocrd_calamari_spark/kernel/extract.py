@@ -196,7 +196,10 @@ def extract_batch(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
             pdf["lang"].values,
         )
     ]
-    return pd.DataFrame(rows, columns=_OUT_COLS)
+    # dict-of-lists beats list-of-dicts: pandas pivots row dicts through a
+    # per-cell python path; column lists build each Series in one shot
+    data = {c: [r[c] for r in rows] for c in _OUT_COLS}
+    return pd.DataFrame(data, columns=_OUT_COLS)
 
 
 def make_map_fn(cfg: ExtractConfig):

@@ -161,11 +161,14 @@ _TOKEN_RE = _re.compile(
     _re.DOTALL,
 )
 _RAWTEXT = {"script", "style"}  # HTMLParser CDATA-mode elements
+# CDATA close pattern — mirrors html.parser.HTMLParser.set_cdata_mode
+_RAWTEXT_CLOSE = {
+    t: _re.compile(r"</\s*%s\s*>" % t, _re.IGNORECASE) for t in _RAWTEXT
+}
 
 
 def _scan(html_text: str, sink: _Segmenter) -> None:
     pos = 0
-    lower = None
     n = len(html_text)
     search = _TOKEN_RE.search
     emit_data = sink.handle_data
@@ -191,15 +194,15 @@ def _scan(html_text: str, sink: _Segmenter) -> None:
                 # HTMLParser's default handle_startendtag → start + end
                 sink.handle_endtag(tag)
             elif tag in _RAWTEXT:
-                # raw-text element: skip to its close tag verbatim
-                if lower is None:
-                    lower = html_text.lower()
-                close = lower.find("</" + tag, pos)
-                if close == -1:
+                # raw-text element: skip to its close tag verbatim.
+                # HTMLParser's CDATA mode (set_cdata_mode) only ends at a
+                # FULL end tag matching r"</\s*tag\s*>" — "</scriptx>" or
+                # "</script/>" must NOT terminate a <script> element.
+                m2 = _RAWTEXT_CLOSE[tag].search(html_text, pos)
+                if m2 is None:
                     return  # unterminated raw text: rest is dropped anyway
-                gt = html_text.find(">", close)
                 sink.handle_endtag(tag)
-                pos = n if gt == -1 else gt + 1
+                pos = m2.end()
     return
 
 

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocrd_calamari_spark.config import ExtractConfig
 from ocrd_calamari_spark.kernel.extract import extract_batch
-from ocrd_calamari_spark.schema import KERNEL_INPUT_COLS, OUTPUT_SCHEMA
+from ocrd_calamari_spark.schema import (
+    FLAT_OUTPUT_SCHEMA,
+    KERNEL_INPUT_COLS,
+    OUTPUT_SCHEMA,
+)
 
 # ---------------------------------------------------------------------------
 # Source (S1/S2): Iceberg table in prod, parquet locally.  Iceberg gives
@@ -84,18 +88,11 @@ def _map_fn_with_lineage(cfg: ExtractConfig, snapshot_id: int | None,
         for pdf in batches:
             out = extract_batch(pdf, cfg)
             n = len(pdf)
-            files = pdf["_src_file"].values if "_src_file" in pdf else [None] * n
-            rows = pdf["_src_row"].values if "_src_row" in pdf else [None] * n
-            parts = pdf["_part_id"].values if "_part_id" in pdf else [None] * n
-            out["lineage"] = [
-                {
-                    "snapshot_id": snapshot_id,
-                    "file": f,
-                    "row_index": int(r) if r is not None else None,
-                    "part_id": int(p) if p is not None else None,
-                }
-                for f, r, p in zip(files, rows, parts)
-            ]
+            # columnar passthrough: numpy arrays assigned whole — the
+            # struct (incl. the constant snapshot_id) is assembled
+            # JVM-side in extract_df, not per-row in Python
+            for col in ("_src_file", "_src_row", "_part_id"):
+                out[col] = pdf[col].values if col in pdf else None
             if accs is not None:
                 accs["docs"].add(len(out))
                 accs["failed"].add(int(out["error"].notna().sum()))
@@ -187,8 +184,19 @@ def extract_df(
             sel = sel.repartition(num_partitions, host, salt_col)
         else:
             sel = sel.repartition(host, salt_col)
-    return sel.mapInPandas(
-        _map_fn_with_lineage(cfg, snapshot_id, accumulators), OUTPUT_SCHEMA
+    mapped = sel.mapInPandas(
+        _map_fn_with_lineage(cfg, snapshot_id, accumulators),
+        FLAT_OUTPUT_SCHEMA,
+    )
+    out_cols = [f.name for f in OUTPUT_SCHEMA.fields if f.name != "lineage"]
+    return mapped.select(
+        *out_cols,
+        F.struct(
+            F.lit(snapshot_id).cast("long").alias("snapshot_id"),
+            F.col("_src_file").alias("file"),
+            F.col("_src_row").cast("long").alias("row_index"),
+            F.col("_part_id").cast("int").alias("part_id"),
+        ).alias("lineage"),
     )
 
 

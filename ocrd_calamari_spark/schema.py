@@ -104,6 +104,18 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# UDF-internal variant: lineage rides as three FLAT columns (columnar numpy
+# passthrough in the Python worker — no per-row dict building) and the
+# lineage struct is assembled JVM-side by a Project after mapInPandas.
+FLAT_OUTPUT_SCHEMA = StructType(
+    [f for f in OUTPUT_SCHEMA.fields if f.name != "lineage"]
+    + [
+        StructField("_src_file", StringType(), True),
+        StructField("_src_row", LongType(), True),
+        StructField("_part_id", IntegerType(), True),
+    ]
+)
+
 # Column subset the extraction kernel actually needs — selected explicitly
 # before mapInPandas so Catalyst prunes the parquet/Iceberg scan to these.
 KERNEL_INPUT_COLS = ["url", "html", "text", "lang"]

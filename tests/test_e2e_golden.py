@@ -156,3 +156,60 @@ class TestSkewDistribution:
             .groupBy("pid").count().collect()
         )
         assert max(r["count"] for r in sizes_u) > max(counts)
+
+
+class TestParallelismInvariance:
+    """local[2] output == local[8] output, byte-identical per url — the
+    reference's pageparallel-matrix invariance (test/conftest.py:11-13,
+    27-29: same fixture outputs across its 4-way --pageparallel settings).
+    Each parallelism level runs in its own subprocess because one JVM can
+    host only one master; different num_partitions also shifts every Arrow
+    batch boundary, so this pins batch-shape independence too."""
+
+    SCRIPT = r"""
+import sys
+from pyspark.sql import SparkSession
+from ocrd_calamari_spark.config import ExtractConfig
+from ocrd_calamari_spark.pipeline import extract_df, read_pages
+
+cores, src, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+spark = (SparkSession.builder.master(f"local[{cores}]")
+         .config("spark.sql.shuffle.partitions", str(2 * cores))
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                 str(64 * cores))
+         .config("spark.ui.enabled", "false").getOrCreate())
+df = read_pages(spark, src)
+res = extract_df(df, ExtractConfig(), with_lineage=False,
+                 num_partitions=2 * cores)
+res.select("url", "text", "conf", "n_blocks", "error") \
+   .write.mode("overwrite").parquet(out)
+spark.stop()
+"""
+
+    def test_local2_equals_local8(self, pages_parquet, tmp_path_factory):
+        import os
+        import subprocess
+        import sys
+
+        import pandas as pd
+
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        outs = {}
+        for cores in (2, 8):
+            out = str(tmp_path_factory.mktemp(f"par{cores}") / "out")
+            subprocess.run(
+                [sys.executable, "-c", self.SCRIPT, str(cores),
+                 pages_parquet, out],
+                check=True, env=env, capture_output=True, timeout=300,
+            )
+            pdf = pd.read_parquet(out).set_index("url").sort_index()
+            outs[cores] = pdf
+        a, b = outs[2], outs[8]
+        assert len(a) == len(b) == 300
+        assert (a.index == b.index).all()
+        assert a["text"].equals(b["text"])        # byte-identical
+        assert a["conf"].equals(b["conf"])
+        assert a["n_blocks"].equals(b["n_blocks"])
+        assert a["error"].isna().equals(b["error"].isna())

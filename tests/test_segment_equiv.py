@@ -104,3 +104,23 @@ class TestPathologicalPayloads:
         assert row["error"] is None
         assert row["n_blocks"] == 900
         assert len(row["text"]) > 800_000
+
+
+def test_rawtext_close_requires_tag_boundary():
+    """"</scriptx>" inside a <script> must NOT terminate it (HTMLParser's
+    CDATA close needs a [\\t\\n\\r\\f />] boundary after the tag name) —
+    fast and spec tokenizers must agree, including on the boundary chars
+    themselves and on an unterminated trailing script."""
+    cases = [
+        '<p>a</p><script>x = "</scriptx>"; y();</script><p>b</p>',
+        '<p>a</p><script>x</script ><p>b</p>',
+        '<p>a</p><script>x</script\t><p>b</p>',
+        '<p>a</p><script>x</script/><p>b</p>',  # NOT a close: cdata to EOF
+        '<p>a</p><script>x</ script><p>b</p>',  # \s* before name: closes
+        '<p>a</p><script>x</SCRIPT><p>b</p>',   # case-insensitive close
+        '<p>a</p><style>s {}</stylesheet> body</style><p>b</p>',
+        '<p>a</p><script>no close',
+        '<p>a</p><script>tail</script',  # needle at EOF, no boundary char
+    ]
+    for html in cases:
+        assert blocks_key(segment(html)) == blocks_key(segment_spec(html)), html
