@@ -960,6 +960,84 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# As-of / range joins (operators Spark lacks natively, composed from
+# built-ins; DuckDB has both natively → full oracles)
+# ---------------------------------------------------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click event, the user's most recent purchase at or before
+    the click (backward inclusive as-of; null if none)."""
+    from ocrd_calamari_spark.functions.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(clicks, purchases, key_col="user_id", left_ts="ts",
+                    right_ts="ts", value_cols=["event_id", "value"])
+    return out.select(
+        "user_id", "event_id", "ts",
+        F.col("matched_ts").alias("purchase_ts"),
+        F.col("matched_event_id").alias("purchase_event_id"),
+        F.col("matched_value").alias("purchase_value"),
+    ).orderBy("user_id", "event_id")
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id, c.ts,
+       p.ts AS purchase_ts,
+       p.event_id AS purchase_event_id,
+       p.value AS purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.user_id, c.event_id
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin events into [lo, hi) value bands via the bucketized range join
+    (equi-join on covering buckets + residual predicate — no
+    BroadcastNestedLoop)."""
+    from ocrd_calamari_spark.functions.joins import range_bucket_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(50).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 10.0).alias("hi"),
+    )
+    joined = range_bucket_join(e, bands, "value", "lo", "hi",
+                               bucket_width=10.0)
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("sum_value"),
+        )
+        .orderBy("band_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH bands AS (
+  SELECT i AS band_id, i * 1e1 AS lo, i * 1e1 + 1e1 AS hi FROM range(50) t(i)
+)
+SELECT band_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band_id ORDER BY band_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # More relational shapes (all DuckDB-oracled)
 # ---------------------------------------------------------------------------
 def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1278,6 +1356,8 @@ QUERIES = {
     "lag_delta": q_lag_delta,
     "set_union": q_set_union,
     "bpe_token_count": q_bpe_token_count,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "rolling_fingerprints": q_rolling_fingerprints,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
@@ -1331,4 +1411,6 @@ ORACLES = {
     "decode_media": DECODE_MEDIA_SQL,
     "resize_images": RESIZE_SQL,
     "frame_plan": FRAME_PLAN_SQL,
+    "asof_join": ASOF_SQL,
+    "range_join": RANGE_JOIN_SQL,
 }

@@ -1,0 +1,95 @@
+"""Join shapes Spark's optimizer has no native operator for: as-of join
+and range join — re-expressed as compositions of built-in DataFrame ops
+(no Python in the loop, one shuffle each).
+
+Reference analogue: the engine's keyed re-association family (J1,
+SURVEY.md §2.5); these extend it to the temporal/interval keys a
+training-data pipeline needs (sessionizing clicks against purchases,
+binning metrics into band dimensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Backward inclusive as-of join: for every left row, attach
+    ``value_cols`` from the right row with the greatest ``right_ts`` ≤
+    ``left_ts`` within the same key (null if none) — pandas
+    ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics.
+
+    Plan: union both sides tagged, ONE shuffle on the key, then a running
+    ``last(ignorenulls)`` window ordered by (ts, side) — right rows sort
+    before left rows at equal ts, which is exactly the inclusive bound.
+    No join node at all, so there is no skew-amplifying key × key blowup:
+    cost is a sort within each key partition.  At 10^12 rows both inputs
+    should be bucketed by the key so the union inherits co-partitioning.
+
+    Right rows must be unique per (key, ts) — pre-aggregate otherwise
+    (the same requirement DuckDB's ASOF JOIN has for determinism).
+    """
+    l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_side", F.lit(1)
+    )
+    r_tag = right.select(
+        F.col(key_col),
+        F.col(right_ts).alias("_ts"),
+        F.col(right_ts).alias(f"{prefix}ts"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [f"{prefix}ts"] + [f"{prefix}{c}" for c in value_cols]
+    for c in carried:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.where(F.col("_side") == 1).drop("_ts", "_side")
+
+
+def range_bucket_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Join facts to [lo, hi) interval rows without a theta join.
+
+    A plain ``value BETWEEN lo AND hi`` join plans as BroadcastNestedLoop
+    (fine for a broadcastable dim, quadratic death for big-big).  This
+    bucketizes: each range row explodes to the fixed-width buckets it
+    covers, facts map to their single bucket, and the join is an EQUI join
+    on the bucket plus the residual predicate — shuffle-partitionable,
+    skew-safe for bounded-length intervals.  Each (fact, range) pair meets
+    in exactly one bucket (the fact's), so no post-join dedup is needed.
+    """
+    w = float(bucket_width)
+    f = facts.withColumn(
+        "_bucket", F.floor(F.col(value_col) / F.lit(w)).cast("long")
+    )
+    r = ranges.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
+                (F.ceil(F.col(hi_col) / F.lit(w)) - 1).cast("long"),
+            )
+        ),
+    )
+    return f.join(r, "_bucket").where(
+        (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) < F.col(hi_col))
+    ).drop("_bucket")

@@ -238,3 +238,45 @@ class TestSketches:
         )
         est = kmv_distinct_estimate(df, "grp", "v", k=64).collect()[0]
         assert est.distinct_est == 10.0  # fewer than k distinct → exact
+
+
+class TestJoins:
+    def test_asof_backward_inclusive(self, spark):
+        from ocrd_calamari_spark.functions.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100, 5), (1, 101, 10), (1, 102, 20), (2, 200, 7)],
+            ["k", "lid", "t"],
+        )
+        right = spark.createDataFrame(
+            [(1, 10, 900), (1, 15, 901), (3, 1, 902)],
+            ["k", "t", "rid"],
+        )
+        out = {
+            r["lid"]: (r["matched_ts"], r["matched_rid"])
+            for r in asof_join(left, right, "k", "t", "t", ["rid"]).collect()
+        }
+        assert out[100] == (None, None)      # before any right row
+        assert out[101] == (10, 900)         # equal ts matches (inclusive)
+        assert out[102] == (15, 901)         # most recent prior
+        assert out[200] == (None, None)      # key with no right rows
+
+    def test_range_bucket_join_spans_and_boundaries(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocrd_calamari_spark.functions.joins import range_bucket_join
+
+        facts = spark.createDataFrame(
+            [(1, 0.0), (2, 9.99), (3, 10.0), (4, 25.0), (5, 39.99), (6, 40.0)],
+            ["fid", "v"],
+        )
+        # ranges spanning multiple buckets (width 10): [0,10), [5,40)
+        ranges = spark.createDataFrame(
+            [("a", 0.0, 10.0), ("b", 5.0, 40.0)], ["rid", "lo", "hi"]
+        )
+        out = range_bucket_join(facts, ranges, "v", "lo", "hi", 10.0)
+        got = {(r["fid"], r["rid"]) for r in out.collect()}
+        assert got == {(1, "a"), (2, "a"), (2, "b"), (3, "b"), (4, "b"),
+                       (5, "b")}  # hi exclusive: 10.0∉a, 40.0∉b
+        # each pair exactly once (no bucket-overlap duplicates)
+        assert out.count() == len(got)

@@ -134,3 +134,25 @@ class TestBucketedResumePruning:
         pages = with_part_id(src, 8)
         subset = pages.where(F.col("_part_id").isin([0, 1]))
         assert len(subset.inputFiles()) == len(src.inputFiles())
+
+
+class TestCustomJoinPlans:
+    def test_asof_join_has_no_join_node(self, spark):
+        """The as-of join is union + window — no join operator at all, so
+        no key×key blowup exists in the plan (one Exchange on the key)."""
+        from ocrd_calamari_spark.entry_queries import q_asof_join
+
+        plan = plan_of(q_asof_join(spark, SF), "simple")
+        assert "Join" not in plan
+        assert "Window" in plan
+
+    def test_range_join_is_equi_not_nested_loop(self, spark):
+        """The bucketized range join must plan as an EQUI join (hash/merge,
+        broadcastable) — never BroadcastNestedLoopJoin, which is the
+        quadratic default for raw BETWEEN theta joins."""
+        from ocrd_calamari_spark.entry_queries import q_range_join
+
+        plan = plan_of(q_range_join(spark, SF), "simple")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan)
