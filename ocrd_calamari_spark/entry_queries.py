@@ -959,6 +959,60 @@ ORDER BY id_a, id_b
 """
 
 
+def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data prep pipeline in one plan: exact dedup
+    (keep min-id representative) → quality filter → language allowlist →
+    per-lang doc/token/quality budget.  Every stage is an engine operator
+    the driver also checks individually; this query proves they compose —
+    and the whole thing is one Catalyst plan (dedup semi-join + scan-level
+    pushdown of the lang filter), not a chain of materializations."""
+    from ocrd_calamari_spark.functions.dedup import distinct_by_text
+
+    d = _t(spark, sf_dir, "documents")
+    kept = distinct_by_text(d)
+    scored = kept.withColumn("q", F.expr(quality_score_sql("text"))).withColumn(
+        "tok", F.expr(token_count_sql("text"))
+    )
+    filt = scored.where(
+        (F.col("q") >= 0.5) & F.col("lang").isin("en", "de", "fr")
+    )
+    return (
+        filt.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("sum_tokens"),
+            # per-doc q is already floor-quantized to 4 decimals; summing
+            # as DECIMAL keeps the aggregate order-independent and exact
+            F.sum(F.col("q").cast("decimal(18,4)"))
+            .cast("double").alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _prepare_corpus_sql() -> str:
+    return f"""
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY substr(md5(text), 1, 16)
+), base AS (
+  SELECT d.lang,
+         {quality_score_sql('text')} AS q,
+         {token_count_sql('text')} AS tok
+  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
+FROM base
+WHERE q >= 5e-1 AND lang IN ('en', 'de', 'fr')
+GROUP BY lang ORDER BY lang
+"""
+
+
+PREPARE_CORPUS_SQL = _prepare_corpus_sql()
+
+
 # ---------------------------------------------------------------------------
 # As-of / range joins (operators Spark lacks natively, composed from
 # built-ins; DuckDB has both natively → full oracles)
@@ -1358,6 +1412,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "prepare_corpus": q_prepare_corpus,
     "rolling_fingerprints": q_rolling_fingerprints,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
@@ -1413,4 +1468,5 @@ ORACLES = {
     "frame_plan": FRAME_PLAN_SQL,
     "asof_join": ASOF_SQL,
     "range_join": RANGE_JOIN_SQL,
+    "prepare_corpus": PREPARE_CORPUS_SQL,
 }

@@ -44,13 +44,18 @@ def read_pages(
 ) -> DataFrame:
     """Load the pages table with snapshot pinning + time-partition pruning.
 
-    ``source``: ``iceberg:<catalog.db.table>`` or a parquet path.
+    ``source``: ``iceberg:<catalog.db.table>``, ``warc:<path glob>``
+    (Common-Crawl-style archives, sources/warc.py), or a parquet path.
     """
     if source.startswith("iceberg:"):
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         df = reader.load(source[len("iceberg:"):])
+    elif source.startswith("warc:"):
+        from ocrd_calamari_spark.sources.warc import read_warc
+
+        df = read_warc(spark, source[len("warc:"):])
     else:
         df = spark.read.parquet(source)
     # Partition predicates: Catalyst pushes these to the scan
@@ -296,10 +301,13 @@ def run_extraction(
         pages = pages.withColumn("_part_id", F.col(bucket_col).cast("int"))
     else:
         pages = with_part_id(pages, n_buckets)
-    lineage_cols = (
-        ("_file", "_pos") if source.startswith("iceberg:")
-        else ("_metadata.file_path", "_metadata.row_index")
-    )
+    if source.startswith("iceberg:"):
+        lineage_cols = ("_file", "_pos")  # Iceberg DSv2 metadata columns
+    elif source.startswith("warc:"):
+        # record-level lineage emitted by the WARC record splitter itself
+        lineage_cols = ("_src_file", "_src_row")
+    else:
+        lineage_cols = ("_metadata.file_path", "_metadata.row_index")
 
     remaining = [p for p in range(n_buckets) if p not in done_parts]
     chunk_size = max(1, -(-len(remaining) // n_chunks)) if remaining else 1

@@ -1,0 +1,178 @@
+"""WARC source: read Common-Crawl-style web archives into the pages table.
+
+The crawl-native input format (ISO 28500): a WARC file is a sequence of
+records — `WARC/1.0` header block, CRLFCRLF, `Content-Length` bytes of
+body, CRLFCRLF — optionally gzip-compressed with one member per record
+(the Common Crawl layout; multi-member gzip decompresses in one call).
+
+Spark shape: `spark.read.format("binaryFile")` gives one row per WARC
+file (path, bytes); record splitting + HTTP payload extraction run in a
+``mapInPandas`` batch over those rows.  Parallelism is file-granular —
+exactly right for the real corpus shape (Common Crawl segments are ~1 GB
+gzip × ~72k files per crawl, far more files than executor slots).  Each
+task holds one file's bytes; executor memory budgets ≈ concurrent tasks ×
+file size, the same budget every WARC reader (warcio, FastWARC, Spark
+binaryFile) carries.  A DSv2 streaming-split reader would lift the
+single-file-in-memory bound; the record parser below would be reused
+unchanged.
+
+Reference analogue: S1/S3 — the workspace/file-group scan + page payload
+load (`ocrd_calamari/recognize.py:110-124` resolves image payloads from
+the METS file group; here the payload comes out of the archive record).
+"""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _parse_headers(block: bytes) -> dict:
+    headers = {}
+    for line in block.split(b"\r\n")[1:]:  # [0] is the WARC/1.0 version line
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers
+
+
+def iter_warc_records(data: bytes):
+    """Yield (headers, body) per WARC record.  Content-Length-driven —
+    never scans body bytes for delimiters (bodies may contain CRLFCRLF)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start == -1:
+            return
+        hdr_end = data.find(_CRLF2, start)
+        if hdr_end == -1:
+            return
+        headers = _parse_headers(data[start:hdr_end])
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            return  # malformed record: stop rather than misalign
+        body_start = hdr_end + len(_CRLF2)
+        yield headers, data[body_start:body_start + length]
+        pos = body_start + length
+
+
+def _http_payload(body: bytes) -> bytes:
+    """Strip the HTTP response head from an application/http body."""
+    sep = body.find(_CRLF2)
+    return body[sep + len(_CRLF2):] if sep != -1 else body
+
+
+def _warc_ts(headers: dict):
+    raw = headers.get(b"warc-date")
+    if not raw:
+        return None
+    try:
+        return datetime.fromisoformat(
+            raw.decode("ascii").replace("Z", "+00:00")
+        ).astimezone(timezone.utc).replace(tzinfo=None)
+    except ValueError:
+        return None
+
+
+def records_to_rows(name: str, data: bytes) -> Iterator[dict]:
+    """WARC file bytes → pages rows (response records only), with
+    (_src_file, _src_row) record lineage — WARC sources have no scan-level
+    metadata columns once the bytes pass through the record splitter."""
+    if name.endswith(".gz"):
+        data = gzip.decompress(data)  # handles concatenated members
+    for i, (headers, body) in enumerate(iter_warc_records(data)):
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri")
+        if url is None:
+            continue
+        yield {
+            "url": url.decode("utf-8", "replace"),
+            "warc_ts": _warc_ts(headers),
+            "html": _http_payload(body),
+            "text": None,
+            "lang": None,
+            "_src_file": name,
+            "_src_row": i,
+        }
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file(s) → pages DataFrame (url, warc_ts, html, text, lang,
+    _src_file, _src_row)."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from ocrd_calamari_spark.schema import PAGES_SCHEMA
+
+    schema = StructType(
+        list(PAGES_SCHEMA.fields)
+        + [StructField("_src_file", StringType(), True),
+           StructField("_src_row", LongType(), True)]
+    )
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["path"].values,
+                                     pdf["content"].values):
+                rows.extend(records_to_rows(str(name), bytes(content)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(_fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# Test/bench helper: deterministic WARC writer for a pages DataFrame.
+# ---------------------------------------------------------------------------
+def write_warc(pages_pdf: pd.DataFrame, path: str,
+               compress: bool = False) -> None:
+    """pages rows → one WARC file (warcinfo + response records)."""
+    out = bytearray()
+
+    import hashlib
+
+    def record(rtype: str, body: bytes, extra: dict) -> bytes:
+        rid = hashlib.md5(
+            rtype.encode() + extra.get("WARC-Target-URI", "").encode()
+        ).hexdigest()
+        head = [b"WARC/1.0", b"WARC-Type: " + rtype.encode(),
+                b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">"]
+        for k, v in extra.items():
+            head.append(k.encode() + b": " + v.encode())
+        head.append(b"Content-Length: " + str(len(body)).encode())
+        return b"\r\n".join(head) + _CRLF2 + body + _CRLF2
+
+    out += record("warcinfo", b"software: ocrd-calamari-spark-gen\r\n",
+                  {"WARC-Date": "2024-06-01T00:00:00Z"})
+    for _, row in pages_pdf.iterrows():
+        payload = bytes(row["html"]) if row["html"] is not None else b""
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + b"Content-Length: " + str(len(payload)).encode()
+                + _CRLF2 + payload)
+        ts = row["warc_ts"]
+        iso = (pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+               if ts is not None else "2024-06-01T00:00:00Z")
+        out += record("response", http, {
+            "WARC-Target-URI": row["url"],
+            "WARC-Date": iso,
+            "Content-Type": "application/http;msgtype=response",
+        })
+    blob = bytes(out)
+    if compress:
+        blob = gzip.compress(blob)
+    with open(path, "wb") as f:
+        f.write(blob)
