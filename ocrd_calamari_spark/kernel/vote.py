@@ -73,8 +73,14 @@ def score_readability(block: Block, lang: str) -> float:
     n_punct = text.count(".") + text.count("!") + text.count("?")
     punct_bonus = 0.20 * min(1.0, n_punct / 3.0)
     profile = STOPWORDS.get(lang or _DEFAULT_PROFILE, STOPWORDS[_DEFAULT_PROFILE])
-    tokens = [t for t in text.lower().split(" ") if t]
-    hits = sum(1 for t in tokens if t in profile)
+    # stop_bonus saturates at 5 hits — early-exit instead of counting all
+    # (hot loop: ~3× of round-2 profile; same value for every input)
+    hits = 0
+    for t in text.lower().split(" "):
+        if t and t in profile:
+            hits += 1
+            if hits == 5:
+                break
     stop_bonus = 0.10 * min(1.0, hits / 5.0)
     depth_penalty = 0.02 * max(0, block.depth - 8)
     return round(_clamp01(base + punct_bonus + stop_bonus - depth_penalty), 6)
