@@ -115,6 +115,75 @@ def stateful_url_dedup(pages: DataFrame, n_groups: int = 256) -> DataFrame:
     )
 
 
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator: event-time session windows with
+    a ``gap_seconds`` inactivity gap, via ``applyInPandasWithState`` +
+    EventTimeTimeout.
+
+    State per user = the open session (start, last_ts, n_events).  Events
+    extend the session or close it and open the next; a session with no
+    successor event closes when the watermark passes last_ts + gap (the
+    timeout path — without it, final sessions would never emit).  This is
+    the stateful-streaming twin of the batch ``sessionize`` query (same
+    gap semantics, incremental emission).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("user_id bigint, session_start timestamp, "
+                  "session_end timestamp, n_events int")
+    state_schema = "start long, last long, n int"
+    gap_us = gap_seconds * 1_000_000
+
+    def _us(ts) -> int:  # pandas Timestamp → integer microseconds
+        return int(pd.Timestamp(ts).value // 1000)
+
+    def _emit(key, start_us, last_us, n):
+        return pd.DataFrame(
+            {
+                "user_id": [key],
+                "session_start": [pd.Timestamp(start_us * 1000)],
+                "session_end": [pd.Timestamp(last_us * 1000)],
+                "n_events": [n],
+            }
+        )
+
+    def _sessionize(key, pdfs, state):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield _emit(key[0], start, last, n)
+            return
+        start = last = n = None
+        if state.exists:
+            start, last, n = state.get
+        ts_all = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        for ts in ts_all:
+            t = _us(ts)
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_us:
+                last, n = max(last, t), n + 1
+            else:
+                yield _emit(key[0], start, last, n)
+                start, last, n = t, t, 1
+        if last is not None:
+            state.update((start, last, n))
+            # close the open session when event time passes last + gap
+            state.setTimeoutTimestamp((last + gap_us) // 1000)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def hourly_host_stats_stream(
     pages: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -97,3 +97,61 @@ class TestStatefulDedup:
         urls = [r.url for r in rows]
         assert len(urls) == 150            # 200 inputs, 50 dups dropped
         assert len(set(urls)) == 150
+
+
+class TestStatefulSessionize:
+    def test_event_time_sessions_with_timeout_close(self, spark, tmp_path):
+        """Sessions extend across micro-batches, close on in-stream gaps,
+        and trailing sessions close via event-time TIMEOUT once the
+        watermark passes last_ts + gap (without the timeout path they
+        would never emit)."""
+        import os
+        import time
+
+        import pandas as pd
+
+        from ocrd_calamari_spark.streaming import sessionize_stream
+
+        base = pd.Timestamp("2024-01-01")
+
+        def ev(uid, sec):
+            return {"user_id": uid, "ts": base + pd.Timedelta(seconds=sec)}
+
+        # u1: session A (0,10,20), session B (200 in drop1, 210 in drop2)
+        # u2: two single-event sessions (5) and (100)
+        # u99: watermark pusher far in the future → forces all timeouts
+        drop1 = pd.DataFrame([ev(1, 0), ev(1, 10), ev(1, 20), ev(2, 5),
+                              ev(1, 200)])
+        drop2 = pd.DataFrame([ev(1, 210), ev(2, 100), ev(99, 100000)])
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        # single parquet FILES: the file-stream source does not recurse
+        # into the directories a spark write would create
+        p1, p2 = str(in_dir / "d1.parquet"), str(in_dir / "d2.parquet")
+        # µs timestamps: Spark's `timestamp` cannot read pandas' default ns
+        drop1.to_parquet(p1, coerce_timestamps="us")
+        drop2.to_parquet(p2, coerce_timestamps="us")
+        # file stream orders drops by modification time — pin it
+        now = time.time()
+        os.utime(p1, (now - 60, now - 60))
+        os.utime(p2, (now, now))
+        stream = (spark.readStream.schema("user_id long, ts timestamp")
+                  .option("maxFilesPerTrigger", 1).parquet(str(in_dir)))
+        sessions = sessionize_stream(stream, gap_seconds=60)
+        q = (sessions.writeStream.format("memory").queryName("sess_out")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("select * from sess_out").collect()
+        got = {
+            (r.user_id,
+             int((r.session_start - base.to_pydatetime()).total_seconds()),
+             int((r.session_end - base.to_pydatetime()).total_seconds()),
+             r.n_events)
+            for r in rows
+        }
+        assert (1, 0, 20, 3) in got          # closed by in-stream gap
+        assert (1, 200, 210, 2) in got       # crossed the batch boundary
+        assert (2, 5, 5, 1) in got
+        assert (2, 100, 100, 1) in got       # closed by event-time timeout
+        assert not any(u == 99 for (u, *_1) in got)  # pusher stays open
