@@ -26,7 +26,13 @@ import sys
 def parse_args(argv):
     p = argparse.ArgumentParser(description="main-content extraction job")
     p.add_argument("--source", required=True,
-                   help="iceberg:<catalog.db.table> or a parquet path")
+                   help="iceberg:<catalog.db.table>, warc:<path glob>, "
+                        "or a parquet path")
+    p.add_argument("--bucket-col", default=None,
+                   help="physical bucket column (Iceberg bucket(N,url) "
+                        "value / partitionBy dir) — makes resume chunks "
+                        "PRUNE the scan instead of re-reading the table "
+                        "per chunk; --buckets must equal its cardinality")
     p.add_argument("--out", required=True, help="output root directory")
     p.add_argument("--snapshot-id", type=int, default=None,
                    help="pin an Iceberg snapshot (lineage + reproducibility)")
@@ -74,6 +80,7 @@ def main(argv=None):
         snapshot_id=args.snapshot_id,
         since=args.since,
         until=args.until,
+        bucket_col=args.bucket_col,
     )
     print(json.dumps(metrics))
     spark.stop()
