@@ -935,7 +935,14 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionByName(perturbed)
     pairs = embedding_near_dupes(corpus, threshold=0.98, dim=64, n_planes=8)
     return pairs.select(
-        "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
+        "id_a",
+        "id_b",
+        # floor-quantize (repo oracle rule): Spark round() half-up on the
+        # decimal repr vs DuckDB ROUND on scaled doubles can differ at
+        # x.xxxx5 boundaries
+        F.expr("cast(floor(cosine_sim * 1e4 + 5e-1) / 1e4 as double)").alias(
+            "cosine_sim"
+        ),
     ).orderBy("id_a", "id_b")
 
 
@@ -952,7 +959,8 @@ WITH corpus AS (
   FROM embeddings WHERE vec_id < 30
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1e4 + 5e-1) / 1e4
+            AS DOUBLE) AS cosine_sim
 FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 98e-2
 ORDER BY id_a, id_b

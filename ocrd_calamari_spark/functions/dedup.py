@@ -5,6 +5,13 @@ Scale design: every stage is a composition of built-in DataFrame ops —
 shingling/hashing via higher-order functions (JVM, codegen), candidate
 generation via band-bucket shuffles that only move (key, id) pairs, and the
 quadratic verify step restricted to LSH candidate pairs.  No Python UDFs.
+
+Cache lifetime: minhash/simhash cache their compact signature/banded-key
+tables (``persist()``, MEMORY_AND_DISK) because self-joins reference them
+twice; the cache lives until the caller's session releases it
+(``spark.catalog.clearCache()`` or unpersist) — a long-lived driver that
+runs many dedups should clear between jobs (bench.py and
+scripts/check_oracles.py do).
 """
 
 from __future__ import annotations

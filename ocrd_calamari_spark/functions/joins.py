@@ -36,6 +36,11 @@ def asof_join(
 
     Right rows must be unique per (key, ts) — pre-aggregate otherwise
     (the same requirement DuckDB's ASOF JOIN has for determinism).
+
+    The matched right row is carried as ONE struct (null only on left
+    rows), so the window's ``last(ignorenulls)`` is row-atomic: a right
+    row with NULL value columns matches as that whole row — never a
+    mix of fields from different right rows.
     """
     l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn(
         "_side", F.lit(1)
@@ -43,8 +48,10 @@ def asof_join(
     r_tag = right.select(
         F.col(key_col),
         F.col(right_ts).alias("_ts"),
-        F.col(right_ts).alias(f"{prefix}ts"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        F.struct(
+            F.col(right_ts).alias("ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("_match"),
     ).withColumn("_side", F.lit(0))
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
     w = (
@@ -52,10 +59,12 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [f"{prefix}ts"] + [f"{prefix}{c}" for c in value_cols]
-    for c in carried:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.where(F.col("_side") == 1).drop("_ts", "_side")
+    u = u.withColumn("_match", F.last("_match", ignorenulls=True).over(w))
+    out = u.where(F.col("_side") == 1)
+    out = out.withColumn(f"{prefix}ts", F.col("_match.ts"))
+    for c in value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col(f"_match.{c}"))
+    return out.drop("_ts", "_side", "_match")
 
 
 def range_bucket_join(

@@ -297,6 +297,20 @@ def run_extraction(
         if bucket_col not in pages.columns:
             raise ValueError(f"bucket_col {bucket_col!r} not in source "
                              f"columns {pages.columns}")
+        # Guard: a physical bucket outside range(n_buckets) would never be
+        # selected by any chunk and its rows would be SILENTLY dropped.
+        # The distinct on a partition-dir / Iceberg-partition column is
+        # metadata-priced (no row data read), paid once per job.
+        seen = {
+            r[0] for r in pages.select(bucket_col).distinct().collect()
+        }
+        bad = {b for b in seen if b is None or int(b) not in range(n_buckets)}
+        if bad:
+            raise ValueError(
+                f"bucket_col {bucket_col!r} has values outside "
+                f"range(n_buckets={n_buckets}): {sorted(bad, key=str)[:8]} — "
+                f"rows there would be silently skipped"
+            )
         # physical partition value → the chunk isin() prunes at the scan
         pages = pages.withColumn("_part_id", F.col(bucket_col).cast("int"))
     else:

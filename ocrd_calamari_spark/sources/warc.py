@@ -65,10 +65,69 @@ def iter_warc_records(data: bytes):
         pos = body_start + length
 
 
+def _dechunk(data: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing (size-hex CRLF chunk CRLF
+    ... 0 CRLF [trailers] CRLF).  Malformed framing returns what decoded
+    so far plus the remainder raw — never raises (error rows are the
+    kernel's job, not the reader's)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        eol = data.find(b"\r\n", pos)
+        if eol == -1:
+            out += data[pos:]
+            break
+        size_token = data[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            out += data[pos:]
+            break
+        if size == 0:
+            break  # terminal chunk; ignore trailers
+        start = eol + 2
+        out += data[start:start + size]
+        pos = start + size + 2  # skip chunk-data CRLF
+    return bytes(out)
+
+
 def _http_payload(body: bytes) -> bytes:
-    """Strip the HTTP response head from an application/http body."""
+    """application/http response body → entity bytes.
+
+    Real crawl records carry Transfer-Encoding: chunked and
+    Content-Encoding: gzip/deflate (the Common Crawl default is
+    identity-at-capture, but chunked + gzip appear throughout) — both are
+    undone here so the html column holds markup bytes, not framing or
+    compressed streams.  Decode failures fall back to the raw payload
+    (the kernel's binary-payload guard turns those into error rows).
+    """
     sep = body.find(_CRLF2)
-    return body[sep + len(_CRLF2):] if sep != -1 else body
+    if sep == -1:
+        return body
+    head = body[:sep].lower()
+    payload = body[sep + len(_CRLF2):]
+    headers = {}
+    for line in head.split(b"\r\n")[1:]:
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip()] = v.strip()
+    if b"chunked" in headers.get(b"transfer-encoding", b""):
+        payload = _dechunk(payload)
+    enc = headers.get(b"content-encoding", b"")
+    try:
+        if b"gzip" in enc or b"x-gzip" in enc:
+            payload = gzip.decompress(payload)
+        elif b"deflate" in enc:
+            import zlib
+
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error:
+                payload = zlib.decompress(payload, -zlib.MAX_WBITS)  # raw
+    except Exception:
+        pass  # leave raw; kernel emits an error row for binary payloads
+    return payload
 
 
 def _warc_ts(headers: dict):

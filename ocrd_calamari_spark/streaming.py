@@ -121,12 +121,16 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
     a ``gap_seconds`` inactivity gap, via ``applyInPandasWithState`` +
     EventTimeTimeout.
 
-    State per user = the open session (start, last_ts, n_events).  Events
-    extend the session or close it and open the next; a session with no
-    successor event closes when the watermark passes last_ts + gap (the
-    timeout path — without it, final sessions would never emit).  This is
-    the stateful-streaming twin of the batch ``sessionize`` query (same
-    gap semantics, incremental emission).
+    State per user = ALL sessions not yet watermark-final (arrays of
+    (start, last, n)).  Each call interval-merges buffered sessions with
+    the batch's events (gap rule on sorted starts), so out-of-order but
+    within-watermark events extend a session backward or form their own
+    earlier session instead of being folded into the newest one.  A
+    session is emitted exactly when ``last + gap`` falls behind the
+    watermark — either on a data batch or through the event-time timeout
+    (without which trailing sessions would never emit).  This is the
+    stateful-streaming twin of the batch ``sessionize`` query: identical
+    gap semantics for every event the watermark admits.
     """
     import pandas as pd
 
@@ -134,45 +138,59 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
 
     out_schema = ("user_id bigint, session_start timestamp, "
                   "session_end timestamp, n_events int")
-    state_schema = "start long, last long, n int"
+    state_schema = "starts array<long>, lasts array<long>, ns array<int>"
     gap_us = gap_seconds * 1_000_000
 
-    def _us(ts) -> int:  # pandas Timestamp → integer microseconds
-        return int(pd.Timestamp(ts).value // 1000)
-
-    def _emit(key, start_us, last_us, n):
+    def _emit(key, sessions):
         return pd.DataFrame(
             {
-                "user_id": [key],
-                "session_start": [pd.Timestamp(start_us * 1000)],
-                "session_end": [pd.Timestamp(last_us * 1000)],
-                "n_events": [n],
+                "user_id": [key] * len(sessions),
+                "session_start": [pd.Timestamp(s * 1000) for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(l * 1000) for _, l, _ in sessions],
+                "n_events": [n for _, _, n in sessions],
             }
         )
 
-    def _sessionize(key, pdfs, state):
-        if state.hasTimedOut:
-            start, last, n = state.get
+    def _split_by_watermark(sessions, state, key):
+        """Emit watermark-final sessions; keep the rest in state."""
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [s for s in sessions if s[1] + gap_us < wm_us]
+        open_ = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if open_:
+            state.update((
+                [s for s, _, _ in open_],
+                [l for _, l, _ in open_],
+                [n for _, _, n in open_],
+            ))
+            # wake when the earliest open session becomes final
+            # (must be strictly beyond the current watermark)
+            next_ms = min(l for _, l, _ in open_) // 1000 + gap_seconds * 1000
+            state.setTimeoutTimestamp(max(next_ms, state.getCurrentWatermarkMs() + 1))
+        else:
             state.remove()
-            yield _emit(key[0], start, last, n)
-            return
-        start = last = n = None
+        if closed:
+            yield _emit(key, closed)
+
+    def _sessionize(key, pdfs, state):
+        sessions = []
         if state.exists:
-            start, last, n = state.get
-        ts_all = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
-        for ts in ts_all:
-            t = _us(ts)
-            if last is None:
-                start, last, n = t, t, 1
-            elif t - last <= gap_us:
-                last, n = max(last, t), n + 1
+            starts, lasts, ns = state.get
+            sessions = [list(t) for t in zip(starts, lasts, ns)]
+        if not state.hasTimedOut:
+            ts_all = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+            for ts in ts_all:
+                t = int(pd.Timestamp(ts).value // 1000)
+                sessions.append([t, t, 1])
+        # interval-merge by gap over start-sorted sessions
+        sessions.sort(key=lambda s: (s[0], s[1]))
+        merged = []
+        for s in sessions:
+            if merged and s[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], s[1])
+                merged[-1][2] += s[2]
             else:
-                yield _emit(key[0], start, last, n)
-                start, last, n = t, t, 1
-        if last is not None:
-            state.update((start, last, n))
-            # close the open session when event time passes last + gap
-            state.setTimeoutTimestamp((last + gap_us) // 1000)
+                merged.append(s)
+        yield from _split_by_watermark(merged, state, key[0])
 
     return (
         events.withWatermark("ts", watermark)

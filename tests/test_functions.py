@@ -261,6 +261,20 @@ class TestJoins:
         assert out[102] == (15, 901)         # most recent prior
         assert out[200] == (None, None)      # key with no right rows
 
+    def test_asof_null_value_is_row_atomic(self, spark):
+        """A right row whose value column is NULL must match as that whole
+        row (merge_asof/ASOF JOIN semantics) — not inherit the previous
+        right row's value."""
+        from ocrd_calamari_spark.functions.joins import asof_join
+
+        left = spark.createDataFrame([(1, 100, 30)], ["k", "lid", "t"])
+        right = spark.createDataFrame(
+            [(1, 10, 900), (1, 20, None)], ["k", "t", "rid"]
+        )
+        r = asof_join(left, right, "k", "t", "t", ["rid"]).collect()[0]
+        assert r["matched_ts"] == 20
+        assert r["matched_rid"] is None
+
     def test_range_bucket_join_spans_and_boundaries(self, spark):
         from pyspark.sql import functions as F
 

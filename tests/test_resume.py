@@ -154,6 +154,15 @@ class TestBucketColResume:
             run_extraction(spark, pages_parquet, d, n_buckets=8,
                            bucket_col="bucket")
 
+    def test_bucket_cardinality_mismatch_raises(self, spark, bucketed_src,
+                                                tmp_path_factory):
+        """Staging bucketed 8-ways + n_buckets=4 would silently drop
+        buckets 4-7 on the FIRST run — must fail fast instead."""
+        d = str(tmp_path_factory.mktemp("card"))
+        with pytest.raises(ValueError, match="outside"):
+            run_extraction(spark, bucketed_src, d, n_buckets=4,
+                           bucket_col="bucket")
+
 
 class TestManifestGuards:
     def test_n_buckets_mismatch_fails_fast(self, spark, pages_parquet,

@@ -119,10 +119,13 @@ class TestStatefulSessionize:
 
         # u1: session A (0,10,20), session B (200 in drop1, 210 in drop2)
         # u2: two single-event sessions (5) and (100)
+        # u3: LATE in-gap event (295 after 300) → extends backward
+        # u4: LATE far event (100 after 5000) → its own earlier session
         # u99: watermark pusher far in the future → forces all timeouts
         drop1 = pd.DataFrame([ev(1, 0), ev(1, 10), ev(1, 20), ev(2, 5),
-                              ev(1, 200)])
-        drop2 = pd.DataFrame([ev(1, 210), ev(2, 100), ev(99, 100000)])
+                              ev(1, 200), ev(3, 300), ev(4, 5000)])
+        drop2 = pd.DataFrame([ev(1, 210), ev(2, 100), ev(3, 295),
+                              ev(4, 100), ev(99, 100000)])
         in_dir = tmp_path / "in"
         in_dir.mkdir()
         # single parquet FILES: the file-stream source does not recurse
@@ -154,4 +157,8 @@ class TestStatefulSessionize:
         assert (1, 200, 210, 2) in got       # crossed the batch boundary
         assert (2, 5, 5, 1) in got
         assert (2, 100, 100, 1) in got       # closed by event-time timeout
+        assert (3, 295, 300, 2) in got       # late in-gap → extends backward
+        assert (4, 100, 100, 1) in got       # late far → own earlier session
+        assert (4, 5000, 5000, 1) in got
         assert not any(u == 99 for (u, *_1) in got)  # pusher stays open
+        assert len(rows) == len(got) == 7    # nothing emitted twice

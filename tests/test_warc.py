@@ -109,3 +109,59 @@ class TestWarcExtractionParity:
         n = lw.count()
         assert lw.where(F.col("lineage.file").contains("crawl-00000.warc")
                         & F.col("lineage.row_index").isNotNull()).count() == n
+
+
+class TestHttpBodyDecoding:
+    def test_chunked_and_gzip_bodies(self, spark, tmp_path):
+        """Real crawl responses use chunked framing and gzip content
+        encoding — the reader must hand the kernel markup bytes."""
+        import gzip as _gz
+
+        from ocrd_calamari_spark.sources.warc import _CRLF2
+
+        html = b"<html><body><p>hello chunked world</p></body></html>"
+
+        def record(url, http_head: bytes, payload: bytes) -> bytes:
+            body = http_head + _CRLF2 + payload
+            head = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    b"WARC-Target-URI: " + url + b"\r\n"
+                    b"WARC-Date: 2024-06-01T00:00:00Z\r\n"
+                    b"Content-Length: " + str(len(body)).encode())
+            return head + _CRLF2 + body + _CRLF2
+
+        mid = len(html) // 2
+        chunked = (hex(mid)[2:].encode() + b"\r\n" + html[:mid] + b"\r\n"
+                   + hex(len(html) - mid)[2:].encode() + b"\r\n" + html[mid:]
+                   + b"\r\n0\r\n\r\n")
+        gz = _gz.compress(html)
+        data = (
+            record(b"http://a/", b"HTTP/1.1 200 OK\r\n"
+                   b"Transfer-Encoding: chunked", chunked)
+            + record(b"http://b/", b"HTTP/1.1 200 OK\r\n"
+                     b"Content-Encoding: gzip", gz)
+            + record(b"http://c/", b"HTTP/1.1 200 OK\r\n"
+                     b"Transfer-Encoding: chunked\r\n"
+                     b"Content-Encoding: gzip",
+                     hex(len(gz))[2:].encode() + b"\r\n" + gz
+                     + b"\r\n0\r\n\r\n")
+            + record(b"http://d/", b"HTTP/1.1 200 OK", html)
+        )
+        p = str(tmp_path / "enc.warc")
+        with open(p, "wb") as f:
+            f.write(data)
+        got = {r["url"]: bytes(r["html"])
+               for r in read_warc(spark, p).collect()}
+        assert got == {"http://a/": html, "http://b/": html,
+                       "http://c/": html, "http://d/": html}
+
+    def test_malformed_encoding_falls_back_to_raw(self, spark, tmp_path):
+        from ocrd_calamari_spark.sources.warc import _http_payload
+
+        # declared gzip but not gzip → raw bytes back (kernel will flag)
+        body = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+                b"NOT GZIP DATA")
+        assert _http_payload(body) == b"NOT GZIP DATA"
+        # truncated chunk framing → best-effort prefix + remainder
+        body2 = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                 b"5\r\nhello")
+        assert _http_payload(body2) == b"hello"
