@@ -294,3 +294,40 @@ class TestJoins:
                        (5, "b")}  # hi exclusive: 10.0∉a, 40.0∉b
         # each pair exactly once (no bucket-overlap duplicates)
         assert out.count() == len(got)
+
+
+class TestDedupSkew:
+    def test_identical_cluster_survives_blocking(self, spark):
+        """A 1,000-document identical-text cluster is the worst-case LSH
+        bucket: every pair is a true near-dup, so the pair output is
+        O(K²) by definition — the engine must distribute that quadratic
+        work across the self-join (no single-row array blowup) and finish.
+        (The standard pipeline removes exact dups FIRST — prepare_corpus —
+        precisely so near-dup only sees the survivors.)"""
+        from pyspark.sql import functions as F
+
+        from ocrd_calamari_spark.functions.dedup import (
+            distinct_by_text, simhash_near_dupes,
+        )
+
+        n = 1000
+        base = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the exact same document text repeated verbatim "
+                  "across the whole cluster of recrawls").alias("text"),
+        )
+        extra = spark.range(n, n + 50).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("unique filler document number "),
+                     F.col("id").cast("string"),
+                     F.lit(" with distinct words entirely")).alias("text"),
+        )
+        corpus = base.unionByName(extra).repartition(16, "doc_id")
+        pairs = simhash_near_dupes(corpus, max_hamming=3)
+        n_cluster_pairs = pairs.where(
+            (F.col("id_a") < n) & (F.col("id_b") < n)
+        ).count()
+        assert n_cluster_pairs == n * (n - 1) // 2  # all pairs, exactly once
+        # and the exact-dedup pre-pass collapses the cluster to one row
+        assert distinct_by_text(corpus).count() == 1 + 50
+        spark.catalog.clearCache()
