@@ -1120,6 +1120,79 @@ ORDER BY lang, source
 """
 
 
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE lattice over (lang, source) — all 2^k grouping sets in one
+    pass (vs ROLLUP's prefix sets; completes the multi-level-agg family)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(F.count("*").alias("n"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"))
+        .orderBy("lang", "source")
+    )
+
+
+CUBE_SQL = """
+SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (lang, source)
+ORDER BY lang, source
+"""
+
+
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: dense hourly spine per event_type (sequence +
+    explode over each type's min..max hour) left-joined to the hourly
+    aggregate, missing hours as zero rows — the hypertable-style
+    resample/gap-fill operator, all JVM-side."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hour_start"),
+        )
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
+GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(hour_start) AS lo, max(hour_start) AS hi
+  FROM hourly GROUP BY 1
+), spine AS (
+  SELECT b.event_type, g.h AS hour_start
+  FROM bounds b, LATERAL (
+    SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+  ) g
+)
+SELECT s.event_type, s.hour_start, COALESCE(h.n, 0) AS n
+FROM spine s LEFT JOIN hourly h
+  ON s.event_type = h.event_type AND s.hour_start = h.hour_start
+ORDER BY s.event_type, s.hour_start
+"""
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation: partial counts on (key, salt),
     re-agg on key — the explicit-salting pattern the north_rule requires
@@ -1407,6 +1480,8 @@ QUERIES = {
     "hourly_windows": q_hourly_windows,
     "cosine_topk": q_cosine_topk,
     "rollup_counts": q_rollup_counts,
+    "cube_counts": q_cube_counts,
+    "gap_fill_hourly": q_gap_fill_hourly,
     "salted_agg": q_salted_agg,
     "percentile_grouped": q_percentile_grouped,
     "set_except": q_set_except,
@@ -1455,6 +1530,8 @@ ORACLES = {
     "hourly_windows": HOURLY_SQL,
     "cosine_topk": COSINE_TOPK_SQL,
     "rollup_counts": ROLLUP_SQL,
+    "cube_counts": CUBE_SQL,
+    "gap_fill_hourly": GAP_FILL_SQL,
     "salted_agg": SALTED_AGG_SQL,
     "percentile_grouped": PERCENTILE_SQL,
     "set_except": SET_EXCEPT_SQL,
