@@ -1120,6 +1120,68 @@ ORDER BY lang, source
 """
 
 
+def q_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang top-10 tokens by frequency (corpus heavy hitters).  Scale
+    shape: explode → map-side partial count (two HashAggregates) → tiny
+    per-lang top-k window; only (lang, tok, partial-count) rows shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = tok.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "tok")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .orderBy("lang", "rank")
+    )
+
+
+TOPK_TOKENS_SQL = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), counts AS (
+  SELECT lang, tok, COUNT(*) AS n FROM tok WHERE tok <> '' GROUP BY 1, 2
+)
+SELECT lang, tok, n, rank FROM (
+  SELECT lang, tok, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok)
+              AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= 10 ORDER BY lang, rank
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix sampling: per-source keep rate
+    10 + 4×source_index percent, membership decided by a cross-engine md5
+    hash of doc_id (never rand() — retries/resume reproduce the same mix).
+    The training-data mixture-weights operator."""
+    d = _t(spark, sf_dir, "documents")
+    weight = F.lit(10) + F.substring("source", 4, 6).cast("int") * 4
+    h = F.expr(
+        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)),"
+        " 1, 15), 16, 10) as bigint) % 100"
+    )
+    kept = d.where(h < weight)
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+MIXTURE_SQL = """
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < 10 + CAST(substr(source, 4) AS INT) * 4
+GROUP BY source ORDER BY source
+"""
+
+
 def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE lattice over (lang, source) — all 2^k grouping sets in one
     pass (vs ROLLUP's prefix sets; completes the multi-level-agg family)."""
@@ -1482,6 +1544,8 @@ QUERIES = {
     "rollup_counts": q_rollup_counts,
     "cube_counts": q_cube_counts,
     "gap_fill_hourly": q_gap_fill_hourly,
+    "topk_tokens": q_topk_tokens,
+    "mixture_sample": q_mixture_sample,
     "salted_agg": q_salted_agg,
     "percentile_grouped": q_percentile_grouped,
     "set_except": q_set_except,
@@ -1532,6 +1596,8 @@ ORACLES = {
     "rollup_counts": ROLLUP_SQL,
     "cube_counts": CUBE_SQL,
     "gap_fill_hourly": GAP_FILL_SQL,
+    "topk_tokens": TOPK_TOKENS_SQL,
+    "mixture_sample": MIXTURE_SQL,
     "salted_agg": SALTED_AGG_SQL,
     "percentile_grouped": PERCENTILE_SQL,
     "set_except": SET_EXCEPT_SQL,
