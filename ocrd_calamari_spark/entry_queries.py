@@ -730,6 +730,48 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN quality: recall@10 of the LSH and IVF indexes
+    against the exact brute-force top-10, computed in-plan (semi-join of
+    approx results on exact results, mean hit rate per method).  Approx
+    structure is hash-specific → rows-only, but the *numbers* quantify the
+    accuracy/cost trade the SCALE docs claim.
+
+    Reading the fixture numbers: the synthetic embeddings are i.i.d.
+    Gaussian, so the "top-10 neighbors" are barely closer than random —
+    the hardest possible regime for LSH (recall ≈ fraction of corpus
+    scored).  On real embedding corpora (clustered) recall is far higher
+    at the same cost; the injected exact-direction duplicates in
+    embedding_near_dupes show the clustered regime (recall 1.0)."""
+    from ocrd_calamari_spark.functions.simsearch import (
+        brute_force_topk, ivf_topk, lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    ).persist()
+    n_truth = exact.count()  # 5 queries × k
+    out = []
+    for method, adf in (
+        ("lsh", lsh_topk(emb, queries, k=10, dim=64, n_planes=6)),
+        ("ivf", ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4,
+                         train_rows=512)),
+    ):
+        hits = (
+            adf.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"], "left_semi")
+            .count()
+        )
+        out.append((method, float(hits) / n_truth))
+    return spark.createDataFrame(out, ["method", "recall_at_10"]).orderBy(
+        "method"
+    )
+
+
 def q_extract_sequence_voter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voter variant (sequence_voter ≈ majority vote) through the driver —
     A5 enum coverage (reference ocrd-tool.json:32-37)."""
@@ -1567,6 +1609,7 @@ QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
+    "ann_recall": q_ann_recall,
     "cosine_topk_pandas": q_cosine_topk_pandas,
     "embedding_near_dupes": q_embedding_near_dupes,
     # sketches + multimodal
