@@ -39,6 +39,14 @@ BLOCK_TAGS = frozenset(
 # Void elements html.parser may report via handle_starttag.
 _VOID = frozenset("br hr img input meta link area base col source track wbr".split())
 
+# One dict lookup instead of four frozenset membership tests per tag event
+# (DROP/BLOCK/_VOID/"a" are mutually disjoint, so one class per tag).
+_C_VOID, _C_DROP, _C_ANCHOR, _C_BLOCK = 1, 2, 3, 4
+_TAG_CLASS = {t: _C_VOID for t in _VOID}
+_TAG_CLASS.update({t: _C_DROP for t in DROP_TAGS})
+_TAG_CLASS.update({t: _C_BLOCK for t in BLOCK_TAGS})
+_TAG_CLASS["a"] = _C_ANCHOR
+
 
 
 @dataclass
@@ -79,26 +87,27 @@ class _Segmenter(HTMLParser):
 
     # -- tag events ---------------------------------------------------------
     def handle_starttag(self, tag, attrs):
-        if tag in _VOID:
+        cls = _TAG_CLASS.get(tag, 0)
+        if cls == _C_VOID:
             if self._drop_depth == 0 and self._block_stack:
                 self._block_stack[-1].n_tags += 1
             return
-        if tag in DROP_TAGS or self._drop_depth > 0:
+        if cls == _C_DROP or self._drop_depth > 0:
             self._drop_depth += 1
             self._stack.append(tag)
             return
-        if tag == "a":
+        if cls == _C_ANCHOR:
             self._anchor_depth += 1
         if self._block_stack:
             self._block_stack[-1].n_tags += 1
-        if tag in BLOCK_TAGS:
+        if cls == _C_BLOCK:
             blk = Block(pos=len(self.blocks), tag=tag, depth=len(self._stack))
             self.blocks.append(blk)
             self._block_stack.append(blk)
         self._stack.append(tag)
 
     def handle_endtag(self, tag):
-        if tag in _VOID:
+        if _TAG_CLASS.get(tag, 0) == _C_VOID:
             return
         # pop to the matching open tag if present (tolerates misnesting)
         if tag not in self._stack:
@@ -108,9 +117,10 @@ class _Segmenter(HTMLParser):
             if self._drop_depth > 0:
                 self._drop_depth -= 1
             else:
-                if top == "a" and self._anchor_depth > 0:
+                cls = _TAG_CLASS.get(top, 0)
+                if cls == _C_ANCHOR and self._anchor_depth > 0:
                     self._anchor_depth -= 1
-                if top in BLOCK_TAGS and self._block_stack:
+                elif cls == _C_BLOCK and self._block_stack:
                     self._block_stack.pop()
             if top == tag:
                 break
