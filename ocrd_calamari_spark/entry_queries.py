@@ -811,14 +811,45 @@ def q_extract_glyph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic KMV distinct-count sketch per lang (custom sketch)."""
+    """Deterministic KMV distinct-count sketch per lang, built on the
+    cross-engine md5 hash (2^60 space) so DuckDB reproduces the k-minimum
+    values — and therefore the estimate — exactly."""
+    from ocrd_calamari_spark.functions.dedup import PORTABLE_TOKEN_HASH_SQL
     from ocrd_calamari_spark.functions.sketch import kmv_distinct_estimate
 
     d = _t(spark, sf_dir, "documents")
-    est = kmv_distinct_estimate(d, "lang", "text", k=64)
+    est = kmv_distinct_estimate(
+        d, "lang", "text", k=64,
+        hash_expr=PORTABLE_TOKEN_HASH_SQL.replace("{t}", "{v}"),
+        hash_space=float(1 << 60),
+    )
     return est.select(
-        "lang", F.round("distinct_est", 2).alias("distinct_est"), "observed_k"
+        "lang",
+        F.expr("cast(floor(distinct_est * 1e2 + 5e-1) / 1e2 as double)")
+        .alias("distinct_est"),
+        F.col("observed_k").cast("int").alias("observed_k"),
     ).orderBy("lang")
+
+
+KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT lang,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+  FROM documents
+), ranked AS (
+  SELECT lang, hv,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM h
+)
+SELECT lang,
+       CAST(floor((CASE WHEN max(cnt) < 64 THEN max(cnt) * 1e0
+                        ELSE 63e0 / (max(CASE WHEN rn = 64 THEN hv END)
+                                     / 1152921504606846976e0)
+                   END) * 1e2 + 5e-1) / 1e2 AS DOUBLE) AS distinct_est,
+       CAST(LEAST(max(cnt), 64) AS INTEGER) AS observed_k
+FROM ranked GROUP BY lang ORDER BY lang
+"""
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1520,18 +1551,36 @@ FROM documents
 
 
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash shingle fingerprints (content-defined-chunking primitive,
-    xxhash64-specific → rows-only)."""
+    """Rolling-hash shingle fingerprints (content-defined-chunking
+    primitive) on the cross-engine md5 hash → fully DuckDB-oracled."""
+    from ocrd_calamari_spark.functions.dedup import PORTABLE_TOKEN_HASH_SQL
     from ocrd_calamari_spark.functions.text import rolling_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-    fp = rolling_fingerprints("text", window=8)
+    fp = rolling_fingerprints("text", window=8,
+                              token_hash=PORTABLE_TOKEN_HASH_SQL)
     return d.select(
         "doc_id",
         F.size(fp).alias("n_shingles"),
         F.element_at(fp, 1).alias("first_fp"),
         F.element_at(fp, -1).alias("last_fp"),
     )
+
+
+ROLLING_FP_SQL = r"""
+SELECT doc_id,
+       CAST(len(fps) AS INTEGER) AS n_shingles,
+       fps[1] AS first_fp,
+       fps[-1] AS last_fp
+FROM (
+  SELECT doc_id,
+         [('0x' || substr(md5(array_to_string(tokens[i:i+7], ' ')), 1, 15))::BIGINT
+          for i in range(1, greatest(len(tokens) - 7, 1) + 1)] AS fps
+  FROM (SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS tokens
+        FROM documents)
+)
+"""
 
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1641,6 +1690,8 @@ ORACLES = {
     "gap_fill_hourly": GAP_FILL_SQL,
     "topk_tokens": TOPK_TOKENS_SQL,
     "mixture_sample": MIXTURE_SQL,
+    "kmv_distinct": KMV_SQL,
+    "rolling_fingerprints": ROLLING_FP_SQL,
     "salted_agg": SALTED_AGG_SQL,
     "percentile_grouped": PERCENTILE_SQL,
     "set_except": SET_EXCEPT_SQL,

@@ -29,14 +29,23 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
 
 
 def kmv_distinct_estimate(df: DataFrame, group_col: str, value_col: str,
-                          k: int = 64) -> DataFrame:
+                          k: int = 64, hash_expr: str | None = None,
+                          hash_space: float = _HASH_SPACE) -> DataFrame:
     """KMV estimate of |distinct(value_col)| per group.
 
     estimate = (k-1) / R_k  where R_k is the k-th smallest distinct hash
     mapped to (0,1); if a group has fewer than k distinct values the count
     is exact (size of the hash set).
+
+    ``hash_expr``: SQL template for the value hash ({v} = column), with
+    ``hash_space`` = its exclusive upper bound.  Default xxhash64 over
+    [0, 2^63); pass the md5-based portable hash (2^60 space) for a
+    DuckDB-reproducible estimate (oracle parity).
     """
-    h = F.abs(F.xxhash64(F.col(value_col)))
+    if hash_expr is None:
+        h = F.abs(F.xxhash64(F.col(value_col)))
+    else:
+        h = F.expr(hash_expr.format(v=value_col))
     kth = F.element_at(F.col("_mins"), k)
     exact_n = F.size(F.col("_mins"))
     return (
@@ -47,7 +56,7 @@ def kmv_distinct_estimate(df: DataFrame, group_col: str, value_col: str,
             group_col,
             F.when(exact_n < k, exact_n.cast("double"))
             .otherwise(
-                F.lit(float(k - 1)) / (kth.cast("double") / F.lit(_HASH_SPACE))
+                F.lit(float(k - 1)) / (kth.cast("double") / F.lit(hash_space))
             )
             .alias("distinct_est"),
             exact_n.alias("observed_k"),

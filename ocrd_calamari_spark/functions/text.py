@@ -126,13 +126,28 @@ def bpe_ish_token_count(col) -> Column:
     return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("bigint")
 
 
-def rolling_fingerprints(col, window: int = 8) -> Column:
-    """Rolling-hash shingle fingerprints: xxhash64 of each ``window``-token
-    shingle — the content-defined-chunking primitive, all JVM-side."""
+def rolling_fingerprints(col, window: int = 8,
+                         token_hash: str | None = None) -> Column:
+    """Rolling-hash shingle fingerprints of each ``window``-token shingle —
+    the content-defined-chunking primitive, all JVM-side.
+
+    ``token_hash``: SQL template ({t} = shingle string); default xxhash64
+    (fastest), or the md5-based portable hash for DuckDB oracle parity.
+    """
     c = F.col(col) if isinstance(col, str) else col
     tokens = F.split(F.trim(c), r"\s+")
     n = F.size(tokens)
     idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, window)))
+    if token_hash is None:
+        return F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, window))),
+        )
+    # portable path: whole pipeline as one SQL expression so the hash
+    # template can wrap the shingle string ('\\s+' in SQL source = \s+)
+    toks = f"split(trim({col}), '\\\\s+')"
+    shingle = f"concat_ws(' ', slice({toks}, i, {window}))"
+    return F.expr(
+        f"transform(sequence(1, greatest(size({toks}) - {window} + 1, 1)), "
+        f"i -> {token_hash.format(t=shingle)})"
     )
