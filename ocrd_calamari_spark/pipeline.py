@@ -395,3 +395,46 @@ def run_extraction(
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def compact_output(spark: SparkSession, out_dir: str,
+                   target_files_per_chunk: int = 1) -> dict:
+    """Compact a completed job's output: rewrite each chunk dir to
+    ``target_files_per_chunk`` files (small-files remediation — a chunked
+    job writes one file per task per chunk; at 100 TB the downstream
+    readers want ~512 MB files, not hundreds of thousands of shards).
+
+    Chunk-at-a-time with the same write-then-atomic-swap discipline as the
+    job itself: the rewrite lands in a sibling dir and replaces the chunk
+    dir only after a successful write, so a crash mid-compaction leaves
+    every chunk either old or new, never half.  Only compacts chunks
+    recorded in the manifest (same source of truth as resume).
+    """
+    import shutil
+
+    manifest = Manifest(out_dir)
+    data_dir = os.path.join(out_dir, "data")
+    stats = {"chunks": 0, "files_before": 0, "files_after": 0}
+    for chunk_id in sorted(manifest.completed()):
+        chunk_dir = os.path.join(data_dir, "chunk=%d" % chunk_id)
+        if not os.path.isdir(chunk_dir):
+            continue
+        before = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")]
+        if len(before) <= target_files_per_chunk:
+            continue
+        tmp_dir = chunk_dir + ".compact.tmp"
+        (
+            spark.read.parquet(chunk_dir)
+            .coalesce(target_files_per_chunk)
+            .write.mode("overwrite").parquet(tmp_dir)
+        )
+        old_dir = chunk_dir + ".old"
+        os.replace(chunk_dir, old_dir)
+        os.replace(tmp_dir, chunk_dir)
+        shutil.rmtree(old_dir)
+        stats["chunks"] += 1
+        stats["files_before"] += len(before)
+        stats["files_after"] += len(
+            [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")]
+        )
+    return stats

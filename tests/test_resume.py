@@ -183,3 +183,34 @@ class TestManifestGuards:
         with pytest.raises(ValueError, match="snapshot"):
             run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
                            snapshot_id=22)
+
+
+class TestCompaction:
+    def test_compact_preserves_rows_and_reduces_files(self, spark,
+                                                      pages_parquet,
+                                                      tmp_path_factory):
+        import os
+
+        from ocrd_calamari_spark.pipeline import compact_output
+
+        d = str(tmp_path_factory.mktemp("compact"))
+        run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
+                       num_partitions=8)  # 8 files per chunk
+        before = (read_output(spark, d)
+                  .select("url", "text", "conf").toPandas()
+                  .set_index("url").sort_index())
+        stats = compact_output(spark, d, target_files_per_chunk=1)
+        assert stats["chunks"] > 0
+        assert stats["files_after"] < stats["files_before"]
+        after = (read_output(spark, d)
+                 .select("url", "text", "conf").toPandas()
+                 .set_index("url").sort_index())
+        assert before.equals(after)  # byte-identical content
+        data = os.path.join(d, "data")
+        for name in os.listdir(data):
+            if name.startswith("chunk="):
+                files = [f for f in os.listdir(os.path.join(data, name))
+                         if f.endswith(".parquet")]
+                assert len(files) == 1
+        # idempotent: second pass is a no-op
+        assert compact_output(spark, d)["chunks"] == 0
