@@ -1040,6 +1040,104 @@ ORDER BY id_a, id_b
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: inject deterministic emails/phones into the text,
+    redact with backref-free regexes valid in BOTH Java regex and RE2
+    (DuckDB), and emit the redacted text's fingerprint + hit counts — the
+    standard pre-training scrub pass, all JVM-side regexp_replace."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-0123 now"),
+        ),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\d{3}-\d{4}"
+    red = dirty.withColumn(
+        "redacted",
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"),
+            phone_re, "<PHONE>",
+        ),
+    )
+    return red.select(
+        "doc_id",
+        F.substring(F.md5(F.col("redacted").cast("binary")), 1, 16).alias(
+            "redacted_fp"
+        ),
+        F.regexp_count("text", F.lit(email_re)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(phone_re)).cast("bigint").alias("n_phones"),
+    ).orderBy("doc_id")
+
+
+REDACT_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-0123 now' AS text
+  FROM documents
+)
+SELECT doc_id,
+       substr(md5(regexp_replace(
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+                  'g'),
+                '\d{3}-\d{4}', '<PHONE>', 'g')), 1, 16) AS redacted_fp,
+       CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '\d{3}-\d{4}')) AS BIGINT)
+         AS n_phones
+FROM dirty ORDER BY doc_id
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: split each document into 64-token chunks
+    with stride 48 (16-token overlap) — sequence + slice + posexplode,
+    all JVM-side; the per-example preprocessing step before tokenization."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tokens = F.split(F.col("text"), " ")
+    n = F.size(tokens)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(48))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(tokens, s, 64))
+    )
+    out = d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_no", "chunk_text")
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_no").cast("bigint").alias("chunk_no"),
+        "chunk_text",
+        F.expr(token_count_sql("chunk_text")).cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_no")
+
+
+CHUNK_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_no,
+       array_to_string(tokens[s : s + 63], ' ') AS chunk_text,
+       CAST(length(array_to_string(tokens[s : s + 63], ' '))
+            - length(replace(array_to_string(tokens[s : s + 63], ' '), ' ', ''))
+            + 1 AS BIGINT) AS n_tokens
+FROM (
+  SELECT doc_id, tokens, g.s AS s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY g.s) - 1 AS i
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(tokens), 1) + 1, 48)) AS s
+  ) g
+)
+ORDER BY doc_id, chunk_no
+"""
+
+
 def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data prep pipeline in one plan: exact dedup
     (keep min-id representative) → quality filter → language allowlist →
@@ -1651,6 +1749,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "prepare_corpus": q_prepare_corpus,
+    "redact_pii": q_redact_pii,
+    "chunk_documents": q_chunk_documents,
     "rolling_fingerprints": q_rolling_fingerprints,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
@@ -1692,6 +1792,8 @@ ORACLES = {
     "mixture_sample": MIXTURE_SQL,
     "kmv_distinct": KMV_SQL,
     "rolling_fingerprints": ROLLING_FP_SQL,
+    "redact_pii": REDACT_SQL,
+    "chunk_documents": CHUNK_SQL,
     "salted_agg": SALTED_AGG_SQL,
     "percentile_grouped": PERCENTILE_SQL,
     "set_except": SET_EXCEPT_SQL,
