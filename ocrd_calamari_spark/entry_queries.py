@@ -767,6 +767,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         out.append((method, float(hits) / n_truth))
+    exact.unpersist()  # fully consumed above — don't pin it for the session
     return spark.createDataFrame(out, ["method", "recall_at_10"]).orderBy(
         "method"
     )

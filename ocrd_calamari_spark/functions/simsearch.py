@@ -339,52 +339,36 @@ def lsh_topk(
     At 10^9 rows the table-0 bucket becomes the physical partition/bucket
     key so probes prune to ~n/2^planes rows per table.
     """
-    tbl = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_signature(
-                    vec_col, _hyperplanes(dim, n_planes, seed + t)
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ])
-    )
-    c = corpus.select(F.col(id_col), F.col(vec_col), tbl.alias("tb")).select(
-        id_col, vec_col, F.col("tb.tbl").alias("tbl"),
-        F.col("tb.bucket").alias("_bucket"),
-    )
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    )
-    q_tbl = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_signature(
-                    "_qvec", _hyperplanes(dim, n_planes, seed + t)
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ])
-    )
-    qb = F.broadcast(
-        q.select(query_id_col, "_qvec", q_tbl.alias("tb")).select(
-            query_id_col, "_qvec", F.col("tb.tbl").alias("tbl"),
+    def _table_buckets(df, vcol, *keep):
+        """Explode one row per (table, bucket) signature of ``vcol``."""
+        tb = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_signature(
+                        vcol, _hyperplanes(dim, n_planes, seed + t)
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])
+        )
+        return df.select(*keep, tb.alias("tb")).select(
+            *keep, F.col("tb.tbl").alias("tbl"),
             F.col("tb.bucket").alias("_bucket"),
         )
-    )
+
+    c = _table_buckets(corpus, vec_col, id_col, vec_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    qb = F.broadcast(_table_buckets(q, "_qvec", query_id_col, "_qvec"))
     # candidate dedup BEFORE scoring: a pair colliding in several tables
-    # must be scored once
+    # must be scored once.  _qvec rides the join (identical per query_id,
+    # so the dedup stays deterministic) — no second query broadcast.
     cand = (
-        c.join(qb.select(query_id_col, "tbl", "_bucket"),
-               ["tbl", "_bucket"])
-        .select(query_id_col, id_col, vec_col)
+        c.join(qb, ["tbl", "_bucket"])
+        .select(query_id_col, id_col, vec_col, "_qvec")
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = cand.join(
-        F.broadcast(q), query_id_col
-    ).select(
+    scored = cand.select(
         query_id_col,
         id_col,
         cosine(

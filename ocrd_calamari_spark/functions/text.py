@@ -144,8 +144,14 @@ def rolling_fingerprints(col, window: int = 8,
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, window))),
         )
     # portable path: whole pipeline as one SQL expression so the hash
-    # template can wrap the shingle string ('\\s+' in SQL source = \s+)
-    toks = f"split(trim({col}), '\\\\s+')"
+    # template can wrap the shingle string ('\\s+' in SQL source = \s+).
+    # The column must be a NAME here (it is spliced into SQL text).
+    if not isinstance(col, str):
+        raise TypeError(
+            "rolling_fingerprints(token_hash=...) requires a column NAME; "
+            "got a Column object"
+        )
+    toks = f"split(trim(`{col}`), '\\\\s+')"
     shingle = f"concat_ws(' ', slice({toks}, i, {window}))"
     return F.expr(
         f"transform(sequence(1, greatest(size({toks}) - {window} + 1, 1)), "

@@ -304,7 +304,14 @@ def run_extraction(
         seen = {
             r[0] for r in pages.select(bucket_col).distinct().collect()
         }
-        bad = {b for b in seen if b is None or int(b) not in range(n_buckets)}
+
+        def _in_range(b) -> bool:
+            try:
+                return b is not None and 0 <= int(b) < n_buckets
+            except (TypeError, ValueError):
+                return False  # unparsable partition value == bad
+
+        bad = {b for b in seen if not _in_range(b)}
         if bad:
             raise ValueError(
                 f"bucket_col {bucket_col!r} has values outside "
@@ -404,34 +411,51 @@ def compact_output(spark: SparkSession, out_dir: str,
     job writes one file per task per chunk; at 100 TB the downstream
     readers want ~512 MB files, not hundreds of thousands of shards).
 
-    Chunk-at-a-time with the same write-then-atomic-swap discipline as the
-    job itself: the rewrite lands in a sibling dir and replaces the chunk
-    dir only after a successful write, so a crash mid-compaction leaves
-    every chunk either old or new, never half.  Only compacts chunks
-    recorded in the manifest (same source of truth as resume).
+    Crash-safe by construction: the rewrite lands in an
+    UNDERSCORE-prefixed sibling dir (Spark's listing ignores ``_``-paths,
+    so a leftover tmp can never pollute partition discovery or duplicate
+    rows on read), the old chunk dir is removed only after the tmp carries
+    a ``_SUCCESS`` marker, and a recovery pass at function start finishes
+    or discards any interrupted swap — every chunk is always either old,
+    new, or (transiently) complete-tmp-with-marker.  Only manifest-recorded
+    chunks are touched (same source of truth as resume).
     """
     import shutil
 
     manifest = Manifest(out_dir)
     data_dir = os.path.join(out_dir, "data")
     stats = {"chunks": 0, "files_before": 0, "files_after": 0}
+
+    def _tmp_of(cid: int) -> str:
+        return os.path.join(data_dir, "_chunk_%d.compact.tmp" % cid)
+
     for chunk_id in sorted(manifest.completed()):
         chunk_dir = os.path.join(data_dir, "chunk=%d" % chunk_id)
+        tmp_dir = _tmp_of(chunk_id)
+        # recovery: a leftover tmp is either complete (has _SUCCESS →
+        # finish the swap; its content equals the old chunk's) or partial
+        # (discard).  The old chunk is only ever deleted after _SUCCESS
+        # exists, so rows are never lost.
+        if os.path.isdir(tmp_dir):
+            if os.path.exists(os.path.join(tmp_dir, "_SUCCESS")):
+                if os.path.isdir(chunk_dir):
+                    shutil.rmtree(chunk_dir)
+                os.replace(tmp_dir, chunk_dir)
+            else:
+                shutil.rmtree(tmp_dir)
         if not os.path.isdir(chunk_dir):
             continue
         before = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")]
         if len(before) <= target_files_per_chunk:
             continue
-        tmp_dir = chunk_dir + ".compact.tmp"
         (
             spark.read.parquet(chunk_dir)
             .coalesce(target_files_per_chunk)
             .write.mode("overwrite").parquet(tmp_dir)
         )
-        old_dir = chunk_dir + ".old"
-        os.replace(chunk_dir, old_dir)
+        assert os.path.exists(os.path.join(tmp_dir, "_SUCCESS"))
+        shutil.rmtree(chunk_dir)
         os.replace(tmp_dir, chunk_dir)
-        shutil.rmtree(old_dir)
         stats["chunks"] += 1
         stats["files_before"] += len(before)
         stats["files_after"] += len(

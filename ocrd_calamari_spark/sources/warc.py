@@ -115,19 +115,35 @@ def _http_payload(body: bytes) -> bytes:
     if b"chunked" in headers.get(b"transfer-encoding", b""):
         payload = _dechunk(payload)
     enc = headers.get(b"content-encoding", b"")
-    try:
-        if b"gzip" in enc or b"x-gzip" in enc:
-            payload = gzip.decompress(payload)
-        elif b"deflate" in enc:
-            import zlib
-
-            try:
-                payload = zlib.decompress(payload)
-            except zlib.error:
-                payload = zlib.decompress(payload, -zlib.MAX_WBITS)  # raw
-    except Exception:
-        pass  # leave raw; kernel emits an error row for binary payloads
+    if b"gzip" in enc or b"x-gzip" in enc:
+        payload = _bounded_inflate(payload, 16 + 15)  # gzip wrapper
+    elif b"deflate" in enc:
+        out = _bounded_inflate(payload, 15)  # zlib wrapper
+        if out is payload:  # some servers send raw deflate
+            out = _bounded_inflate(payload, -15)
+        payload = out
     return payload
+
+
+_MAX_ENTITY_BYTES = 64 << 20  # decompression-bomb cap per record
+
+
+def _bounded_inflate(data: bytes, wbits: int) -> bytes:
+    """Size-capped decompress: a hostile record must not be able to
+    amplify a small compressed body into gigabytes inside an executor
+    (gzip allows ~1000×).  Overflow or decode failure returns the raw
+    bytes — the kernel's binary-payload guard turns those into error
+    rows."""
+    import zlib
+
+    try:
+        d = zlib.decompressobj(wbits)
+        out = d.decompress(data, _MAX_ENTITY_BYTES)
+        if d.unconsumed_tail:
+            return data  # would exceed the cap → refuse to expand
+        return out
+    except zlib.error:
+        return data
 
 
 def _warc_ts(headers: dict):

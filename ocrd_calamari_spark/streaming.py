@@ -131,6 +131,12 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
     (without which trailing sessions would never emit).  This is the
     stateful-streaming twin of the batch ``sessionize`` query: identical
     gap semantics for every event the watermark admits.
+
+    State-schema note: this version stores ARRAYS of open sessions (the
+    earlier single-session scalar schema folded late events incorrectly).
+    Spark's state-store schema check rejects restarting an OLD checkpoint
+    under the new schema — discard the checkpoint and reprocess (or drain
+    the old query first); there is no in-place migration.
     """
     import pandas as pd
 

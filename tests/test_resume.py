@@ -214,3 +214,44 @@ class TestCompaction:
                 assert len(files) == 1
         # idempotent: second pass is a no-op
         assert compact_output(spark, d)["chunks"] == 0
+
+    def test_crash_recovery_and_no_partition_pollution(self, spark,
+                                                       pages_parquet,
+                                                       tmp_path_factory):
+        """Interrupted compaction must be recoverable and a leftover tmp
+        must never pollute partition discovery (underscore prefix)."""
+        import os
+        import shutil
+
+        from ocrd_calamari_spark.pipeline import compact_output
+
+        d = str(tmp_path_factory.mktemp("crash"))
+        run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
+                       num_partitions=4)
+        data = os.path.join(d, "data")
+        n0 = read_output(spark, d).count()
+
+        # crash case A: complete tmp written (_SUCCESS), old chunk deleted,
+        # rename never happened → recovery must finish the swap
+        chunk0 = os.path.join(data, "chunk=0")
+        tmp0 = os.path.join(data, "_chunk_0.compact.tmp")
+        spark.read.parquet(chunk0).coalesce(1).write.mode(
+            "overwrite").parquet(tmp0)
+        shutil.rmtree(chunk0)
+        # crash case B: partial tmp (no _SUCCESS) next to a live chunk
+        tmp1 = os.path.join(data, "_chunk_1.compact.tmp")
+        os.makedirs(tmp1)
+        with open(os.path.join(tmp1, "part-0.parquet"), "wb") as f:
+            f.write(b"partial garbage")
+        # underscore tmp dirs are invisible to the reader even pre-recovery:
+        # the mid-crash dataset is exactly the 3 intact chunks (no
+        # duplicated rows, no 'chunk=N.compact.tmp' string partitions)
+        mid = read_output(spark, d)
+        n_chunk0 = spark.read.parquet(tmp0).count()
+        assert mid.count() == n0 - n_chunk0
+        compact_output(spark, d, target_files_per_chunk=1)
+        out = read_output(spark, d)
+        assert out.count() == n0
+        assert out.select("url").distinct().count() == n0
+        assert not os.path.isdir(tmp0) and not os.path.isdir(tmp1)
+        assert dict(out.dtypes).get("url") == "string"
