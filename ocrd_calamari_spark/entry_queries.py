@@ -977,7 +977,11 @@ FROM s ORDER BY media_id
 
 def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: JVM-side explode of frame stubs per
-    video row (the per-frame decode would attach via decode_media)."""
+    video row (the per-frame decode would attach via decode_media).
+    Stub count and timestamps come from the payload's own n-frames/fps
+    header (bytes 4..11), parsed JVM-side — so the row count varies per
+    video and the oracle derives the SAME header values from doc_id
+    (the fixture writes n_frames = doc_id%640+16, fps = doc_id%480+16)."""
     from ocrd_calamari_spark.functions.multimodal import frame_sample_plan
 
     out = frame_sample_plan(media_from_documents(spark, sf_dir), every_n=30)
@@ -989,11 +993,15 @@ def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FRAME_PLAN_SQL = """
-SELECT doc_id AS media_id, f.frame_no AS frame_no,
-       f.frame_no / 3e1 AS ts_offset_sec
-FROM documents, (SELECT unnest(generate_series(0, 119, 30)) AS frame_no) f
-WHERE doc_id % 3 = 2
-ORDER BY media_id, frame_no
+WITH v AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 480 + 16 AS DOUBLE) AS fps,
+         unnest(generate_series(0, CAST(doc_id % 640 + 16 AS BIGINT) - 1, 30))
+           AS frame_no
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, frame_no, frame_no / fps AS ts_offset_sec
+FROM v ORDER BY media_id, frame_no
 """
 
 

@@ -171,15 +171,34 @@ def resize_images(df: DataFrame, max_side: int = 256,
 
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plan: expand each video row into frame stubs
-    (frame_no, ts_offset) JVM-side; the per-frame decode would attach via
-    decode_media on the exploded rows."""
+    (frame_no, ts_offset_sec) JVM-side; the per-frame decode would attach
+    via decode_media on the exploded rows.
+
+    The stub count is derived from the payload itself: the n-frames and
+    fps header fields (bytes 4..7 / 8..11 of the payload convention above)
+    are parsed JVM-side (substring → hex → conv — no Python in the loop),
+    so every video yields ``ceil(n_frames / every_n)`` stubs at
+    ``frame_no / fps`` second offsets.  Rows with a short payload or a
+    zero n-frames/fps header produce no stubs (nothing to sample)."""
+    n_frames = F.conv(F.hex(F.substring(F.col("payload"), 5, 4)), 16, 10).cast("long")
+    fps = F.conv(F.hex(F.substring(F.col("payload"), 9, 4)), 16, 10).cast("long")
     return (
-        df.where(F.col("kind") == "video")
+        df.where(
+            (F.col("kind") == "video") & (F.octet_length("payload") >= 12)
+        )
+        .select("media_id", n_frames.alias("_nf"), fps.alias("_fps"))
+        .where((F.col("_nf") > 0) & (F.col("_fps") > 0))
         .select(
             "media_id",
             F.explode(
-                F.sequence(F.lit(0), F.lit(every_n * 4 - 1), F.lit(every_n))
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.col("_nf") - 1,
+                    F.lit(int(every_n)).cast("long"),
+                )
             ).alias("frame_no"),
+            F.col("_fps"),
         )
-        .withColumn("ts_offset_sec", F.col("frame_no") / F.lit(30.0))
+        .withColumn("ts_offset_sec", F.col("frame_no") / F.col("_fps").cast("double"))
+        .drop("_fps")
     )

@@ -9,14 +9,19 @@ Two tiers:
   DataFrame algebra (xxhash64 → k smallest distinct hashes → estimator
   (k-1)/R where R is the k-th normalized hash).  Deterministic (no RNG),
   so its estimate is exactly reproducible — useful where runs must agree
-  bit-for-bit (resume/audit).  The collect_set form below is exact-memory
-  per group; the production form replaces it with a partial top-k
-  (aggregate over sorted partial arrays), same algebra.
+  bit-for-bit (resume/audit).  The production form is memory-BOUNDED:
+  every operator in its plan (hash-distinct, sort-based window rank,
+  ≤k-row collect) spills to disk — no per-group state ever exceeds O(k)
+  rows in the final aggregate, so a 10^9-distinct group sorts on disk
+  instead of OOMing an executor.  ``_kmv_collect_set_form`` keeps the
+  original single-aggregate algebra as the equivalence reference
+  (audit-scale only: it materializes EVERY distinct hash of a group in
+  one collect_set array).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _HASH_SPACE = float(1 << 63)  # xxhash64 |values| normalized to [0, 1)
 
@@ -41,24 +46,57 @@ def kmv_distinct_estimate(df: DataFrame, group_col: str, value_col: str,
     ``hash_space`` = its exclusive upper bound.  Default xxhash64 over
     [0, 2^63); pass the md5-based portable hash (2^60 space) for a
     DuckDB-reproducible estimate (oracle parity).
+
+    Memory bound: the plan is distinct → window row_number ≤ k →
+    ≤k-element collect_list.  HashAggregate (the distinct) and the
+    window's sort both SPILL; the only array ever built per group holds
+    at most k hashes.  Equivalent by construction to the single-pass
+    collect_set form (``_kmv_collect_set_form``) — both keep exactly the
+    k smallest distinct hashes — pinned by test_functions.py.
     """
+    h = _kmv_hash(value_col, hash_expr)
+    distinct_h = df.select(F.col(group_col), h.alias("_h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("_h")
+    mins = (
+        distinct_h.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list("_h")).alias("_mins"))
+    )
+    return _kmv_estimate(mins, group_col, k, hash_space)
+
+
+def _kmv_hash(value_col: str, hash_expr: str | None):
     if hash_expr is None:
-        h = F.abs(F.xxhash64(F.col(value_col)))
-    else:
-        h = F.expr(hash_expr.format(v=value_col))
+        return F.abs(F.xxhash64(F.col(value_col)))
+    return F.expr(hash_expr.format(v=value_col))
+
+
+def _kmv_estimate(mins: DataFrame, group_col: str, k: int,
+                  hash_space: float) -> DataFrame:
     kth = F.element_at(F.col("_mins"), k)
     exact_n = F.size(F.col("_mins"))
-    return (
-        df.select(F.col(group_col), h.alias("_h"))
+    return mins.select(
+        group_col,
+        F.when(exact_n < k, exact_n.cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) / (kth.cast("double") / F.lit(hash_space))
+        )
+        .alias("distinct_est"),
+        exact_n.alias("observed_k"),
+    )
+
+
+def _kmv_collect_set_form(df: DataFrame, group_col: str, value_col: str,
+                          k: int = 64, hash_expr: str | None = None,
+                          hash_space: float = _HASH_SPACE) -> DataFrame:
+    """Original single-aggregate KMV: collect_set of ALL distinct hashes
+    per group, then slice to k.  O(distinct) executor memory per group —
+    audit-scale equivalence reference ONLY (see module docstring); the
+    bounded ``kmv_distinct_estimate`` is the production form."""
+    mins = (
+        df.select(F.col(group_col), _kmv_hash(value_col, hash_expr).alias("_h"))
         .groupBy(group_col)
         .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins"))
-        .select(
-            group_col,
-            F.when(exact_n < k, exact_n.cast("double"))
-            .otherwise(
-                F.lit(float(k - 1)) / (kth.cast("double") / F.lit(hash_space))
-            )
-            .alias("distinct_est"),
-            exact_n.alias("observed_k"),
-        )
     )
+    return _kmv_estimate(mins, group_col, k, hash_space)

@@ -158,12 +158,59 @@ def _warc_ts(headers: dict):
         return None
 
 
+# file-level decompression-bomb cap: 16× the per-record entity cap.  A
+# legitimate CC segment is ~1 GB compressed / a few GB inflated; a hostile
+# archive must not be able to amplify past this into executor memory.
+_MAX_FILE_BYTES = 16 * _MAX_ENTITY_BYTES
+
+
+def _bounded_gunzip_members(data: bytes, max_total: int) -> bytes:
+    """Incrementally inflate a (possibly multi-member) gzip stream with a
+    cumulative output cap.
+
+    The Common Crawl layout gzips one member per record, so members are
+    walked via ``decompressobj.unused_data``; within a member, output is
+    drained in ≤8 MiB pieces through ``unconsumed_tail`` — at no point
+    does more than ``max_total`` (+ one piece) exist in memory, unlike a
+    whole-file ``gzip.decompress`` whose output is unbounded before any
+    record-level cap can apply.  Exceeding the cap raises ValueError (a
+    clear per-file task error beats a silent executor OOM); trailing
+    garbage after the last complete member is ignored, matching
+    ``gzip.decompress``'s tolerance of padded archives.
+    """
+    import zlib
+
+    out = bytearray()
+    buf = data
+    piece = 8 << 20
+    while buf:
+        d = zlib.decompressobj(16 + 15)  # gzip wrapper
+        tail = buf
+        try:
+            while True:
+                out += d.decompress(tail, piece)
+                if len(out) > max_total:
+                    raise ValueError(
+                        f"gzip archive inflates past the {max_total}-byte "
+                        f"file cap — refusing to materialize"
+                    )
+                if d.eof:
+                    buf = d.unused_data
+                    break
+                if not d.unconsumed_tail:
+                    return bytes(out)  # truncated final member: keep output
+                tail = d.unconsumed_tail
+        except zlib.error:
+            return bytes(out)  # non-gzip trailer / corrupt member: stop
+    return bytes(out)
+
+
 def records_to_rows(name: str, data: bytes) -> Iterator[dict]:
     """WARC file bytes → pages rows (response records only), with
     (_src_file, _src_row) record lineage — WARC sources have no scan-level
     metadata columns once the bytes pass through the record splitter."""
     if name.endswith(".gz"):
-        data = gzip.decompress(data)  # handles concatenated members
+        data = _bounded_gunzip_members(data, _MAX_FILE_BYTES)
     for i, (headers, body) in enumerate(iter_warc_records(data)):
         if headers.get(b"warc-type") != b"response":
             continue

@@ -239,6 +239,37 @@ class TestSketches:
         est = kmv_distinct_estimate(df, "grp", "v", k=64).collect()[0]
         assert est.distinct_est == 10.0  # fewer than k distinct → exact
 
+    def test_kmv_bounded_form_equals_collect_set_form(self, spark):
+        """The memory-bounded plan (distinct → rank ≤ k → ≤k-row collect)
+        and the single-aggregate collect_set reference keep the SAME k
+        minima, so estimates are bit-identical — incl. groups above and
+        below k, and multiple groups in one pass."""
+        from ocrd_calamari_spark.functions.sketch import (
+            _kmv_collect_set_form, kmv_distinct_estimate,
+        )
+
+        rows = (
+            [(i, "big", f"value-{i % 700}") for i in range(3000)]
+            + [(i, "small", f"v{i % 9}") for i in range(50)]
+        )
+        df = spark.createDataFrame(rows, ["i", "grp", "v"])
+        for kwargs in (
+            {},
+            {"hash_expr": "abs(hash({v}))", "hash_space": float(1 << 31)},
+        ):
+            bounded = {
+                r.grp: (r.distinct_est, r.observed_k)
+                for r in kmv_distinct_estimate(df, "grp", "v", k=64,
+                                               **kwargs).collect()
+            }
+            reference = {
+                r.grp: (r.distinct_est, r.observed_k)
+                for r in _kmv_collect_set_form(df, "grp", "v", k=64,
+                                               **kwargs).collect()
+            }
+            assert bounded == reference
+            assert bounded["small"][0] == 9.0  # below-k group stays exact
+
 
 class TestJoins:
     def test_asof_backward_inclusive(self, spark):

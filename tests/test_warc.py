@@ -77,6 +77,58 @@ class TestWarcRoundTrip:
         assert list(records_to_rows("x.warc", b"")) == []
 
 
+class TestFileLevelBombCap:
+    def test_bounded_gunzip_equals_stdlib_on_wellformed(self, pages_pdf,
+                                                        tmp_path):
+        """Incremental member-walking inflate is byte-identical to
+        gzip.decompress on well-formed single- and multi-member archives."""
+        from ocrd_calamari_spark.sources.warc import _bounded_gunzip_members
+
+        plain = str(tmp_path / "x.warc")
+        write_warc(pages_pdf.head(10), plain)
+        data = open(plain, "rb").read()
+        single = gzip.compress(data)
+        multi = gzip.compress(data[:1000]) + gzip.compress(data[1000:])
+        cap = 64 << 20
+        assert _bounded_gunzip_members(single, cap) == data
+        assert _bounded_gunzip_members(multi, cap) == data
+        # trailing garbage after the last member is tolerated (stdlib
+        # raises here; padded archives exist in the wild)
+        assert _bounded_gunzip_members(single + b"\x00garbage", cap) == data
+
+    def test_file_level_bomb_raises_not_materializes(self):
+        """A hostile archive inflating past the file cap must raise a clear
+        error BEFORE the expansion materializes — never a silent OOM.  The
+        inflate drains in ≤8 MiB pieces, so peak memory is cap + one piece
+        regardless of the bomb's true size."""
+        import pytest as _pytest
+
+        from ocrd_calamari_spark.sources.warc import _bounded_gunzip_members
+
+        bomb = gzip.compress(b"\x00" * (64 << 20))  # 64 MiB → ~64 KiB
+        assert len(bomb) < 1 << 20
+        with _pytest.raises(ValueError, match="file cap"):
+            _bounded_gunzip_members(bomb, max_total=1 << 20)
+
+    def test_records_to_rows_enforces_cap(self, monkeypatch):
+        import ocrd_calamari_spark.sources.warc as warc_mod
+
+        bomb = gzip.compress(b"\x00" * (16 << 20))
+        monkeypatch.setattr(warc_mod, "_MAX_FILE_BYTES", 1 << 20)
+        with pytest.raises(ValueError, match="file cap"):
+            list(records_to_rows("bomb.warc.gz", bomb))
+
+    def test_truncated_member_keeps_decoded_prefix(self, pages_pdf, tmp_path):
+        from ocrd_calamari_spark.sources.warc import _bounded_gunzip_members
+
+        plain = str(tmp_path / "x.warc")
+        write_warc(pages_pdf.head(5), plain)
+        data = open(plain, "rb").read()
+        gz = gzip.compress(data)
+        got = _bounded_gunzip_members(gz[:-20], 64 << 20)
+        assert data.startswith(got) and len(got) > 0
+
+
 class TestWarcExtractionParity:
     def test_warc_source_output_equals_parquet_source(
         self, spark, pages_parquet, warc_path, tmp_path_factory
