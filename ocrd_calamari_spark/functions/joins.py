@@ -89,7 +89,12 @@ def range_bucket_join(
     f = facts.withColumn(
         "_bucket", F.floor(F.col(value_col) / F.lit(w)).cast("long")
     )
-    r = ranges.withColumn(
+    # drop degenerate intervals BEFORE the explode: hi <= lo can never
+    # match any fact ([lo, hi) is empty), but a malformed hi << lo row
+    # would make F.sequence default to step -1 and explode a huge
+    # DESCENDING bucket array (per-row OOM risk).  With hi > lo the
+    # sequence bounds are provably ascending (ceil(hi/w)-1 >= floor(lo/w)).
+    r = ranges.where(F.col(hi_col) > F.col(lo_col)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(

@@ -267,13 +267,26 @@ def run_extraction(
     manifest = Manifest(out_dir)
     done = manifest.completed()
     # resume sanity: a manifest written under a different bucketing would
-    # silently skip/duplicate buckets reinterpreted under the new hashing
+    # silently skip/duplicate buckets reinterpreted under the new hashing.
+    # The scheme TAG matters as much as the count: physical bucket_col
+    # values (e.g. Iceberg murmur3 bucket(N, url)) and the computed
+    # pmod(xxhash64(url)) fallback assign the same url to DIFFERENT part
+    # ids, so a resume that switches scheme would reinterpret completed
+    # part ids under the other hashing.
+    bucket_scheme = bucket_col if bucket_col is not None else "_computed"
     for rec in done.values():
         rec_n = rec.get("n_buckets")
         if rec_n is not None and rec_n != n_buckets:
             raise ValueError(
                 f"resume mismatch: manifest written with n_buckets={rec_n}, "
                 f"run requested n_buckets={n_buckets}"
+            )
+        rec_scheme = rec.get("bucket_scheme")
+        if rec_scheme is not None and rec_scheme != bucket_scheme:
+            raise ValueError(
+                f"resume mismatch: manifest written with bucket_scheme="
+                f"{rec_scheme!r}, run requested {bucket_scheme!r} — part "
+                f"ids are not comparable across partitioning schemes"
             )
         rec_snap = rec.get("snapshot_id")
         if (rec_snap is not None and snapshot_id is not None
@@ -372,6 +385,7 @@ def run_extraction(
                 "chunk_id": chunk_id,
                 "part_ids": group,
                 "n_buckets": n_buckets,
+                "bucket_scheme": bucket_scheme,
                 "source": source,
                 "snapshot_id": snapshot_id,
                 "rows": counts["rows"],
@@ -453,7 +467,13 @@ def compact_output(spark: SparkSession, out_dir: str,
             .coalesce(target_files_per_chunk)
             .write.mode("overwrite").parquet(tmp_dir)
         )
-        assert os.path.exists(os.path.join(tmp_dir, "_SUCCESS"))
+        # explicit check, not assert: under `python -O` asserts vanish and
+        # a marker-less write would delete the only copy of the chunk
+        if not os.path.exists(os.path.join(tmp_dir, "_SUCCESS")):
+            raise RuntimeError(
+                f"compaction rewrite of chunk {chunk_id} produced no "
+                f"_SUCCESS marker in {tmp_dir}; old chunk left untouched"
+            )
         shutil.rmtree(chunk_dir)
         os.replace(tmp_dir, chunk_dir)
         stats["chunks"] += 1

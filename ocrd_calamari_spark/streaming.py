@@ -66,22 +66,42 @@ def start_extraction_stream(
     return writer.start()
 
 
-def stateful_url_dedup(pages: DataFrame, n_groups: int = 256) -> DataFrame:
+def stateful_url_dedup(pages: DataFrame, n_groups: int = 256,
+                       ttl_seconds: float | None = None,
+                       _clock=None) -> DataFrame:
     """Custom stateful streaming operator: cross-micro-batch URL dedup via
     ``applyInPandasWithState`` — first sighting of a url passes through,
     repeats (recrawls within the stream) are dropped.
 
-    State = set of xxhash64(url) per hash-group (bounded groups so state
-    partitions evenly; at crawl scale the group count becomes the state
-    store's shuffle partition multiple).  State survives restarts through
-    the streaming checkpoint.
+    State = (hash, first-seen processing ts) of xxhash64(url) per
+    hash-group (bounded groups so state partitions evenly; at crawl scale
+    the group count becomes the state store's shuffle partition multiple).
+    State survives restarts through the streaming checkpoint.
+
+    ``ttl_seconds`` bounds the state over an UNBOUNDED crawl stream: with
+    the default ``None`` the seen-set grows with every distinct url ever
+    observed (exact forever-dedup — the state store eventually becomes the
+    corpus).  With a TTL, a url is emitted at most once per ``ttl_seconds``
+    recrawl window: entries older than the window are evicted on every
+    group invocation, and a ``ProcessingTimeTimeout`` sweeps groups that
+    stop receiving data (without it an idle group's last window would pin
+    its state forever).  Emitting does NOT refresh the window — a url that
+    keeps recrawling re-emits once per window rather than being suppressed
+    indefinitely.
+
+    ``_clock``: test hook — a picklable ``() -> float`` epoch-seconds
+    source shipped to the workers inside the state function's closure
+    (processing-time eviction can't be driven deterministically from the
+    driver otherwise).  Default: ``time.time``.
     """
-    import pandas as pd
+    import time
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "url string, warc_ts timestamp, lang string, grp bigint"
-    state_schema = "seen array<long>"
+    state_schema = "seen array<long>, first_ts array<long>"
+    ttl_ms = None if ttl_seconds is None else max(1, int(ttl_seconds * 1000))
+    now_fn = _clock if _clock is not None else time.time
 
     import hashlib
 
@@ -94,16 +114,45 @@ def stateful_url_dedup(pages: DataFrame, n_groups: int = 256) -> DataFrame:
         return int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
 
     def _dedup(key, pdfs, state):
-        seen = set(state.get[0]) if state.exists else set()
+        if state.hasTimedOut:
+            # only reachable with a TTL: re-evict, and drop the group
+            # entirely once every entry has aged out
+            hashes, stamps = state.get
+            cutoff = int(now_fn() * 1000) - ttl_ms
+            live = [(h, t) for h, t in zip(hashes, stamps) if t >= cutoff]
+            if live:
+                state.update(([h for h, _ in live], [t for _, t in live]))
+                state.setTimeoutDuration(ttl_ms)
+            else:
+                state.remove()
+            return
+        now_ms = int(now_fn() * 1000)
+        if state.exists:
+            hashes, stamps = state.get
+            if ttl_ms is not None:
+                cutoff = now_ms - ttl_ms
+                seen = {h: t for h, t in zip(hashes, stamps) if t >= cutoff}
+            else:
+                seen = dict(zip(hashes, stamps))
+        else:
+            seen = {}
         for pdf in pdfs:
             h = pdf["url"].map(_stable_hash)
-            fresh = ~h.isin(seen)
-            seen.update(h[fresh].tolist())
+            # first occurrence wins within the batch too (~duplicated),
+            # not just across batches
+            fresh = ~h.isin(seen.keys()) & ~h.duplicated()
+            for hv in h[fresh]:
+                seen[hv] = now_ms
             if fresh.any():
                 out = pdf.loc[fresh, ["url", "warc_ts", "lang"]].copy()
                 out["grp"] = key[0]
                 yield out
-        state.update((list(seen),))
+        if seen:
+            state.update((list(seen.keys()), list(seen.values())))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            state.remove()
 
     grouped = pages.select(
         "url", "warc_ts", "lang",
@@ -111,7 +160,8 @@ def stateful_url_dedup(pages: DataFrame, n_groups: int = 256) -> DataFrame:
     ).groupBy("grp")
     return grouped.applyInPandasWithState(
         _dedup, out_schema, state_schema, "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 

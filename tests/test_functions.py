@@ -326,6 +326,23 @@ class TestJoins:
         # each pair exactly once (no bucket-overlap duplicates)
         assert out.count() == len(got)
 
+    def test_range_bucket_join_degenerate_intervals_pruned(self, spark):
+        """hi <= lo intervals match nothing ([lo, hi) is empty) and must be
+        dropped BEFORE the bucket explode: a malformed hi << lo row would
+        otherwise make F.sequence default to step -1 and explode a huge
+        descending bucket array per row (OOM vector, not just waste)."""
+        from ocrd_calamari_spark.functions.joins import range_bucket_join
+
+        facts = spark.createDataFrame([(1, 5.0)], ["fid", "v"])
+        ranges = spark.createDataFrame(
+            [("ok", 0.0, 10.0),
+             ("empty", 5.0, 5.0),           # zero-width
+             ("inverted", 1.0e9, -1.0e9)],  # would be ~2e8 buckets at w=10
+            ["rid", "lo", "hi"],
+        )
+        out = range_bucket_join(facts, ranges, "v", "lo", "hi", 10.0)
+        assert [(r["fid"], r["rid"]) for r in out.collect()] == [(1, "ok")]
+
 
 class TestDedupSkew:
     def test_identical_cluster_survives_blocking(self, spark):

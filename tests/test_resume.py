@@ -184,6 +184,29 @@ class TestManifestGuards:
             run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
                            snapshot_id=22)
 
+    def test_bucket_scheme_mismatch_fails_fast(self, spark, pages_parquet,
+                                               tmp_path_factory):
+        """Same n_buckets, different partitioning SCHEME: a physical
+        bucket_col (murmur3-style values) and the computed
+        pmod(xxhash64(url)) fallback assign urls to different part ids —
+        resuming across them would silently skip/duplicate rows even
+        though the n_buckets guard passes."""
+        from ocrd_calamari_spark.pipeline import write_bucketed_staging
+
+        src = str(tmp_path_factory.mktemp("schemesrc") / "staging")
+        write_bucketed_staging(spark.read.parquet(pages_parquet), src,
+                               n_buckets=8)
+        d = str(tmp_path_factory.mktemp("schemeguard"))
+        run_extraction(spark, src, d, n_buckets=8, n_chunks=4,
+                       bucket_col="bucket", stop_after_chunks=1)
+        # resume WITHOUT bucket_col: computed-_part_id scheme → must raise
+        with pytest.raises(ValueError, match="bucket_scheme"):
+            run_extraction(spark, src, d, n_buckets=8, n_chunks=4)
+        # resume WITH the same scheme still works
+        m = run_extraction(spark, src, d, n_buckets=8, n_chunks=4,
+                           bucket_col="bucket")
+        assert m["complete"]
+
 
 class TestCompaction:
     def test_compact_preserves_rows_and_reduces_files(self, spark,

@@ -78,6 +78,14 @@ class TestStreamingExtraction:
         assert any(h.startswith("host00") for h in hosts)  # skewed host present
 
 
+def _fixed_clock(epoch: float):
+    """Picklable constant epoch source: built from stdlib callables only,
+    so workers can unpickle it without importing this test module."""
+    import functools
+
+    return functools.partial(float, str(epoch))
+
+
 class TestStatefulDedup:
     def test_cross_batch_url_dedup(self, spark, tmp_path, pages_pdf):
         from ocrd_calamari_spark.streaming import read_pages_stream, stateful_url_dedup
@@ -97,6 +105,74 @@ class TestStatefulDedup:
         urls = [r.url for r in rows]
         assert len(urls) == 150            # 200 inputs, 50 dups dropped
         assert len(set(urls)) == 150
+
+    def test_ttl_evicts_state_and_readmits_urls(self, spark, tmp_path,
+                                                pages_pdf):
+        """With a recrawl-window TTL the state is BOUNDED: entries older
+        than the window are evicted, so a url recrawled after the TTL
+        passes through again.  Two availableNow runs on one checkpoint,
+        with an injected clock advanced past the window between them =
+        two crawls a window apart (deterministic — no wall-clock sleep)."""
+        from ocrd_calamari_spark.gen import write_pages_parquet
+        from ocrd_calamari_spark.streaming import (
+            read_pages_stream, stateful_url_dedup,
+        )
+
+        in_dir = tmp_path / "in"; in_dir.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "out")  # parquet sink: supports recovery
+        ttl = 3600.0
+
+        def run(epoch):
+            pages = read_pages_stream(spark, str(in_dir),
+                                      max_files_per_trigger=1)
+            deduped = stateful_url_dedup(
+                pages, n_groups=8, ttl_seconds=ttl,
+                _clock=_fixed_clock(epoch),
+            )
+            q = (deduped.writeStream.format("parquet")
+                 .option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        # crawl 1: 40 urls, 10 of them recrawled within the window
+        write_pages_parquet(pages_pdf.iloc[:40], str(in_dir / "d1.parquet"))
+        write_pages_parquet(pages_pdf.iloc[30:40], str(in_dir / "d2.parquet"))
+        run(epoch=1_000_000.0)
+        urls1 = [r.url for r in spark.read.parquet(out_dir).collect()]
+        assert len(urls1) == len(set(urls1)) == 40  # in-window dups dropped
+
+        # crawl 2 a window later: same 40 urls — all evicted → all pass
+        write_pages_parquet(pages_pdf.iloc[:40], str(in_dir / "d3.parquet"))
+        run(epoch=1_000_000.0 + ttl + 1)
+        urls2 = [r.url for r in spark.read.parquet(out_dir).collect()]
+        assert len(urls2) == 80  # every url re-admitted exactly once
+        from collections import Counter
+        assert set(Counter(u for u in urls2).values()) == {2}
+
+    def test_within_batch_duplicates_collapse(self, spark, tmp_path,
+                                              pages_pdf):
+        """Two copies of a url in the SAME micro-batch emit once."""
+        import pandas as pd
+
+        from ocrd_calamari_spark.gen import write_pages_parquet
+        from ocrd_calamari_spark.streaming import (
+            read_pages_stream, stateful_url_dedup,
+        )
+
+        in_dir = tmp_path / "in"; in_dir.mkdir()
+        doubled = pd.concat([pages_pdf.iloc[:20], pages_pdf.iloc[:20]],
+                            ignore_index=True)
+        write_pages_parquet(doubled, str(in_dir / "d1.parquet"))
+        pages = read_pages_stream(spark, str(in_dir))
+        q = (stateful_url_dedup(pages, n_groups=4).writeStream
+             .format("memory").queryName("inbatch_out")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        urls = [r.url for r in spark.sql("select url from inbatch_out").collect()]
+        assert len(urls) == len(set(urls)) == 20
 
 
 class TestStatefulSessionize:
