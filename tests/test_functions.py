@@ -344,6 +344,55 @@ class TestJoins:
         assert [(r["fid"], r["rid"]) for r in out.collect()] == [(1, "ok")]
 
 
+class TestAnnClusteredRecall:
+    def test_lsh_and_ivf_recall_on_clustered_corpus(self, spark):
+        """Quality pin for the 100 TB ANN story: on a CLUSTERED corpus —
+        the regime real embedding corpora live in — both approximate
+        indexes must reach recall@10 ≥ 0.9 against the exact top-10.
+        (The i.i.d.-Gaussian fixture is LSH's worst case — neighbors are
+        barely closer than random — so the registry's `ann_recall` query
+        reports both regimes; this test pins the clustered one.)"""
+        import numpy as np
+
+        from ocrd_calamari_spark.functions.simsearch import (
+            brute_force_topk, ivf_topk, lsh_topk,
+        )
+
+        rng = np.random.RandomState(7)
+        C = rng.standard_normal((8, 64))
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for ci in range(8):
+            for _ in range(30):  # within-cluster cosine ≈ 0.98 at σ=0.02
+                v = C[ci] + 0.02 * rng.standard_normal(64)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        # one query per cluster, five clusters
+        queries = corpus.where(F.col("vec_id") % 30 == 0).where(
+            F.col("vec_id") < 150
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        exact = brute_force_topk(corpus, queries, k=10).select(
+            "query_id", "vec_id"
+        ).persist()
+        n_truth = exact.count()
+        assert n_truth == 50
+        recalls = {}
+        for method, adf in (
+            ("lsh", lsh_topk(corpus, queries, k=10, dim=64, n_planes=6,
+                             n_tables=4)),
+            ("ivf", ivf_topk(corpus, queries, k=10, n_centroids=8,
+                             n_probe=2, train_rows=512)),
+        ):
+            hits = (adf.select("query_id", "vec_id")
+                    .join(exact, ["query_id", "vec_id"], "left_semi").count())
+            recalls[method] = hits / n_truth
+        exact.unpersist()
+        assert recalls["lsh"] >= 0.9, recalls
+        assert recalls["ivf"] >= 0.9, recalls
+
+
 class TestDedupSkew:
     def test_identical_cluster_survives_blocking(self, spark):
         """A 1,000-document identical-text cluster is the worst-case LSH
