@@ -149,11 +149,13 @@ def segment_spec(html_text: str) -> list[Block]:
 
 
 # ---------------------------------------------------------------------------
-# Fast tokenizer: one compiled regex scan feeding the SAME _Segmenter event
-# logic — only tokenization changes, the stack/drop/anchor semantics are the
-# single implementation above.  ~3× faster than HTMLParser's goahead loop
-# (which dominates kernel time once the position pipeline is vectorized).
-# Falls back to the spec tokenizer on any scan error.
+# Fast path: one compiled regex scan with the _Segmenter event logic FUSED
+# into the loop (local-variable state, no per-token method dispatch) — the
+# stack/drop/anchor semantics are copied verbatim from the spec handlers
+# above and arbitrated by test_segment_equiv.py (corpus + hypothesis fuzz).
+# ~3× faster than HTMLParser's goahead loop from the regex tokenizer, plus
+# a measured ~5.6% kernel-level gain from fusing the event dispatch
+# (BENCH.md A/B, round 3).  Falls back to the spec parser on any scan error.
 # ---------------------------------------------------------------------------
 import html as _html
 import re as _re
@@ -180,56 +182,113 @@ _RAWTEXT_CLOSE = {
 }
 
 
-def _scan(html_text: str, sink: _Segmenter) -> None:
+def _segment_fused(html_text: str) -> list[Block]:
+    """Fused tokenizer + segmenter: the regex token loop and the
+    _Segmenter event handlers inlined into one loop over local variables.
+
+    Semantically identical to feeding the spec handlers above — the
+    per-token method dispatch (3 bound calls/token) and per-event
+    attribute loads were the kernel's top profile line at ~20%;
+    test_segment_equiv.py (corpus + hypothesis fuzz incl. rawtext and
+    misnesting) arbitrates equivalence against the HTMLParser spec.
+    """
+    blocks: list[Block] = []
+    stack: list[str] = []
+    block_stack: list[Block] = []
+    drop_depth = 0
+    anchor_depth = 0
     pos = 0
     n = len(html_text)
     search = _TOKEN_RE.search
-    emit_data = sink.handle_data
-    emit_start = sink.handle_starttag
-    emit_end = sink.handle_endtag
+    tag_class = _TAG_CLASS
+    unescape = _html.unescape
     while pos < n:
         m = search(html_text, pos)
+        end = m.start() if m is not None else n
+        if end > pos and drop_depth == 0 and block_stack:
+            data = html_text[pos:end]
+            if "&" in data:
+                data = unescape(data)
+            text = (data.replace("\n", " ").replace("\t", " ")
+                        .replace("\r", " ").replace("\f", " ")
+                        .replace("\v", " "))
+            blk = block_stack[-1]
+            blk.chunks.append(text)
+            if anchor_depth > 0:
+                blk.n_link_chars += len(text.replace(" ", ""))
         if m is None:
-            emit_data(_unescape(html_text[pos:]))
-            return
-        if m.start() > pos:
-            emit_data(_unescape(html_text[pos:m.start()]))
+            break
         pos = m.end()
-        closing, name, _attrs, selfclose = m.group(1, 2, 3, 4)
+        name = m.group(2)
         if name is None:  # comment/doctype/pi — no event
             continue
         tag = name.lower()
-        if closing:
-            emit_end(tag)
+        if m.group(1):  # ---- closing tag ----
+            if tag_class.get(tag, 0) == _C_VOID:
+                continue
+            if tag not in stack:  # tolerates misnesting
+                continue
+            while stack:
+                top = stack.pop()
+                if drop_depth > 0:
+                    drop_depth -= 1
+                else:
+                    cls = tag_class.get(top, 0)
+                    if cls == _C_ANCHOR and anchor_depth > 0:
+                        anchor_depth -= 1
+                    elif cls == _C_BLOCK and block_stack:
+                        block_stack.pop()
+                if top == tag:
+                    break
+            continue
+        # ---- opening tag ----
+        cls = tag_class.get(tag, 0)
+        if cls == _C_VOID:
+            if drop_depth == 0 and block_stack:
+                block_stack[-1].n_tags += 1
+            continue
+        if cls == _C_DROP or drop_depth > 0:
+            drop_depth += 1
+            stack.append(tag)
+            dropped = True
         else:
-            emit_start(tag, ())
-            if selfclose:
-                # HTMLParser's default handle_startendtag → start + end
-                sink.handle_endtag(tag)
-            elif tag in _RAWTEXT:
-                # raw-text element: skip to its close tag verbatim.
-                # HTMLParser's CDATA mode (set_cdata_mode) only ends at a
-                # FULL end tag matching r"</\s*tag\s*>" — "</scriptx>" or
-                # "</script/>" must NOT terminate a <script> element.
-                m2 = _RAWTEXT_CLOSE[tag].search(html_text, pos)
-                if m2 is None:
-                    return  # unterminated raw text: rest is dropped anyway
-                sink.handle_endtag(tag)
-                pos = m2.end()
-    return
-
-
-def _unescape(text: str) -> str:
-    return _html.unescape(text) if "&" in text else text
+            dropped = False
+            if cls == _C_ANCHOR:
+                anchor_depth += 1
+            if block_stack:
+                block_stack[-1].n_tags += 1
+            if cls == _C_BLOCK:
+                blk = Block(pos=len(blocks), tag=tag, depth=len(stack))
+                blocks.append(blk)
+                block_stack.append(blk)
+            stack.append(tag)
+        if m.group(4):  # self-closing → immediate endtag (tag is top)
+            stack.pop()
+            if dropped:
+                drop_depth -= 1
+            elif cls == _C_ANCHOR and anchor_depth > 0:
+                anchor_depth -= 1
+            elif cls == _C_BLOCK and block_stack:
+                block_stack.pop()
+        elif tag in _RAWTEXT:
+            # raw-text element: skip to its FULL close tag — HTMLParser's
+            # CDATA mode only ends at r"</\s*tag\s*>" ("</scriptx>" or
+            # "</script/>" must NOT terminate a <script> element)
+            m2 = _RAWTEXT_CLOSE[tag].search(html_text, pos)
+            if m2 is None:
+                break  # unterminated raw text: rest is dropped anyway
+            stack.pop()  # rawtext tags are DROP class → dropped is True
+            drop_depth -= 1
+            pos = m2.end()
+    return [b for b in blocks if b.visible_len() > 0]
 
 
 def segment(html_text: str) -> list[Block]:
     """Parse html → candidate blocks in document order (may be empty).
 
-    Fast regex tokenizer with HTMLParser-spec fallback on scan errors."""
+    Fused regex tokenizer+segmenter with HTMLParser-spec fallback on
+    scan errors."""
     try:
-        sink = _Segmenter()
-        _scan(html_text, sink)
-        return [b for b in sink.blocks if b.visible_len() > 0]
+        return _segment_fused(html_text)
     except Exception:
         return segment_spec(html_text)

@@ -156,3 +156,19 @@ class TestCustomJoinPlans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
                 or "ShuffledHashJoin" in plan)
+
+
+class TestSketchPlans:
+    def test_kmv_plan_has_no_unbounded_collect(self, spark):
+        """Regression pin for the bounded KMV form: the plan must carry
+        NO collect_set (the O(distinct)-per-group aggregate the round-2
+        verdict flagged) — only spillable operators (hash-distinct,
+        window rank) ahead of the final ≤k-row collect_list."""
+        from ocrd_calamari_spark.functions.sketch import kmv_distinct_estimate
+
+        df = spark.createDataFrame([(1, "a")], ["g", "v"])
+        plan = kmv_distinct_estimate(df, "g", "v", k=8)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "collect_set" not in plan
+        assert "collect_list" in plan
+        assert "Window" in plan
