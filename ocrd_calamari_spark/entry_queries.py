@@ -1169,6 +1169,215 @@ ORDER BY doc_id, chunk_no
 """
 
 
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (duplicate
+    2-gram fraction, top-2-gram coverage) — one shuffle-free JVM map; the
+    top-gram count is a sorted-run aggregate() fold, no per-doc groupBy."""
+    from ocrd_calamari_spark.functions.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = repetition_stats(d, "doc_id", "text", n=2)
+    quant = lambda c: (F.floor(F.col(c) * F.lit(1e4) + F.lit(0.5))
+                       / F.lit(1e4)).cast("double").alias(c)
+    return out.select(
+        "doc_id", "n_tokens", "n_grams", "n_distinct_grams",
+        "top_gram_count", quant("dup_ngram_frac"), quant("top_ngram_frac"),
+    ).orderBy("doc_id")
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), g AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                        i -> array_to_string(t[i : i + 1], ' ')) AS grams
+  FROM toks
+), e AS (
+  SELECT doc_id, n_tokens, len(grams) AS n_grams,
+         len(list_distinct(grams)) AS n_distinct_grams,
+         unnest(grams) AS gr
+  FROM g
+), pergram AS (
+  SELECT doc_id, n_tokens, n_grams, n_distinct_grams, gr, COUNT(*) AS c
+  FROM e GROUP BY ALL
+)
+SELECT doc_id,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(n_grams) AS BIGINT) AS n_grams,
+       CAST(max(n_distinct_grams) AS BIGINT) AS n_distinct_grams,
+       CAST(max(c) AS BIGINT) AS top_gram_count,
+       CAST(floor((max(n_grams) - max(n_distinct_grams)) * 1e0
+                  / max(n_grams) * 1e4 + 5e-1) / 1e4 AS DOUBLE)
+         AS dup_ngram_frac,
+       CAST(floor(max(c) * 1e0 / max(n_grams) * 1e4 + 5e-1) / 1e4 AS DOUBLE)
+         AS top_ngram_frac
+FROM pergram GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 8-gram
+    with the eval set.  Fixture: docs with doc_id % 97 == 0 ARE the
+    benchmark; docs with doc_id % 10 == 3 get the benchmark's doc-0 lead
+    8-gram spliced in (the planted leak the scan must find).  Benchmark
+    grams broadcast; the corpus text never shuffles."""
+    from ocrd_calamari_spark.functions.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = d.where(F.col("doc_id") % 97 == 0)
+    leak = benchmark.where(F.col("doc_id") == 0).select(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("_leak")
+    )
+    corpus = (
+        d.where(F.col("doc_id") % 97 != 0)
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 3,
+                F.concat("text", F.lit(" "), "_leak"),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    out = decontaminate(corpus, benchmark, "doc_id", "text", n=8)
+    return out.select("doc_id", "n_leaked_ngrams", "contaminated").orderBy(
+        "doc_id"
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH leak AS (
+  SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS l
+  FROM documents WHERE doc_id = 0
+), corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' ' || (SELECT l FROM leak)
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+), bench_g AS (
+  SELECT DISTINCT unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+           i -> array_to_string(string_split(text, ' ')[i : i + 7], ' ')))
+         AS g
+  FROM documents WHERE doc_id % 97 = 0
+), doc_g AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+           i -> array_to_string(string_split(text, ' ')[i : i + 7], ' ')))
+         AS g
+  FROM corpus
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n
+  FROM doc_g JOIN bench_g USING (g) GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_leaked_ngrams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+ORDER BY c.doc_id
+"""
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: keep the 3 highest-quality docs per host
+    (C4/RefinedWeb-style domain caps so megasites cannot dominate the
+    corpus).  One window per host; at 10^12 rows the host hash is the
+    shuffle key and the quota bounds each partition's retained rows."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("host"), F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0")
+    )
+    from ocrd_calamari_spark.functions.text import quality_score
+
+    scored = d.select(
+        host.alias("host"), "doc_id", quality_score("text").alias("q")
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .orderBy("host", "rank")
+    )
+
+
+def _domain_quota_sql() -> str:
+    from ocrd_calamari_spark.functions.text import quality_score_sql
+
+    return f"""
+WITH scored AS (
+  SELECT 'host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') AS host,
+         doc_id, {quality_score_sql('text')} AS q
+  FROM documents
+), ranked AS (
+  SELECT host, doc_id, q,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY q DESC, doc_id)
+           AS rank
+  FROM scored
+)
+SELECT host, doc_id, q, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY host, rank
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: a delta keeps only docs byte-new vs the
+    prior run's fingerprint catalog AND unclaimed by a smaller delta id.
+    Fixture: catalog = docs 0..249; delta = docs 250.. PLUS recrawled
+    copies of docs 0..19 (ids +3000000, dropped via the catalog) and a
+    second copy of doc 250 (id +4000000, dropped within-delta) — both
+    drop paths exercised.  Only (fp, id) pairs shuffle; text rides a
+    final semi-join."""
+    from ocrd_calamari_spark.functions.dedup import dedup_against_catalog
+    from ocrd_calamari_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    catalog = (
+        d.where(F.col("doc_id") < 250)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    recrawls = d.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    within_dup = d.where(F.col("doc_id") == 250).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"), "text"
+    )
+    delta = (
+        d.where(F.col("doc_id") >= 250)
+        .unionByName(recrawls)
+        .unionByName(within_dup)
+    )
+    kept = dedup_against_catalog(delta, catalog, "doc_id", "text")
+    return kept.select(
+        "doc_id",
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 16).alias("fp"),
+    ).orderBy("doc_id")
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH catalog AS (
+  SELECT DISTINCT substr(md5(text), 1, 16) AS fp
+  FROM documents WHERE doc_id < 250
+), delta AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 4000000, text FROM documents WHERE doc_id = 250
+), fps AS (
+  SELECT doc_id, text, substr(md5(text), 1, 16) AS fp FROM delta
+), reps AS (
+  SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp
+), new_reps AS (
+  SELECT r.doc_id FROM reps r ANTI JOIN catalog c ON r.fp = c.fp
+)
+SELECT f.doc_id, f.fp
+FROM fps f SEMI JOIN new_reps n ON f.doc_id = n.doc_id
+ORDER BY f.doc_id
+"""
+
+
 def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data prep pipeline in one plan: exact dedup
     (keep min-id representative) → quality filter → language allowlist →
@@ -1783,6 +1992,10 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "chunk_documents": q_chunk_documents,
     "rolling_fingerprints": q_rolling_fingerprints,
+    "repetition_quality": q_repetition_quality,
+    "decontaminate": q_decontaminate,
+    "domain_quota": q_domain_quota,
+    "incremental_dedup": q_incremental_dedup,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
@@ -1847,4 +2060,8 @@ ORACLES = {
     "asof_join": ASOF_SQL,
     "range_join": RANGE_JOIN_SQL,
     "prepare_corpus": PREPARE_CORPUS_SQL,
+    "repetition_quality": REPETITION_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
+    "domain_quota": _domain_quota_sql(),
+    "incremental_dedup": INCREMENTAL_DEDUP_SQL,
 }

@@ -254,6 +254,83 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents sharing any n-gram
+# with an evaluation set (the leakage scan every LLM data pipeline runs
+# before training).
+# ---------------------------------------------------------------------------
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-corpus-document count of DISTINCT n-grams that also occur in
+    the benchmark set, plus a contaminated flag.
+
+    Scale shape: the benchmark gram set is small (eval suites are KBs–MBs
+    against a 100 TB corpus) → distinct grams broadcast; the corpus side
+    explodes to (id, gram), inner-joins the broadcast, and aggregates
+    counts — only (id, gram) pairs for MATCHING grams ever reach the
+    aggregation, and the corpus text itself never shuffles (the final
+    flag join is a broadcast of the tiny hit table onto corpus ids).
+    """
+    from ocrd_calamari_spark.functions.text import word_ngrams
+
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(word_ngrams(text_col, n)).alias("_g")
+        ).distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode_outer(
+            F.array_distinct(word_ngrams(text_col, n))
+        ).alias("_g")
+    )
+    hits = (
+        doc_grams.join(bench_grams, "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_leaked_ngrams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_leaked_ngrams", F.lit(0)).cast("bigint")
+            .alias("n_leaked_ngrams"),
+        )
+        .withColumn("contaminated", F.col("n_leaked_ngrams") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new crawl delta against a prior run's fingerprint
+# catalog — the production shape where the corpus already exists and each
+# crawl only contributes its novel documents.
+# ---------------------------------------------------------------------------
+def dedup_against_catalog(
+    delta: DataFrame,
+    catalog_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of ``delta`` that are new: not byte-identical to any document
+    in the prior catalog (``catalog_fps``: one ``fp`` column of
+    ``fingerprint()`` values) nor to a smaller-id row within the delta.
+
+    Only (fp, id) pairs shuffle — the delta's text rides a final
+    semi-join on the surviving ids, so document payloads never enter the
+    dedup shuffles (at 100 TB the catalog is a fingerprint table ~1/4000
+    the corpus size; the anti-join is fp-partitioned on both sides).
+    """
+    fps = delta.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    reps = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    new_reps = reps.join(catalog_fps.select("fp"), "fp", "left_anti")
+    return delta.join(new_reps.select(id_col), id_col, "leftsemi")
+
+
+# ---------------------------------------------------------------------------
 # SimHash: 64-bit signature; near-dups = small Hamming distance.
 # ---------------------------------------------------------------------------
 # Cross-engine 60-bit token hash: identical in Spark

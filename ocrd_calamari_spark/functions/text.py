@@ -126,6 +126,69 @@ def bpe_ish_token_count(col) -> Column:
     return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("bigint")
 
 
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher/C4-style quality filters)
+# ---------------------------------------------------------------------------
+def word_ngrams(col, n: int = 2) -> Column:
+    """Array of space-joined word n-grams (single-space tokenization — the
+    oracle-parity variant; DuckDB mirrors it with generate_series + list
+    slicing).  A document shorter than n yields one truncated gram, same
+    as the shingle helpers."""
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(c, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - n + 1, F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 2):
+    """Gopher-style repetition quality signals per document, all JVM HOFs:
+
+    - ``dup_ngram_frac``: fraction of n-gram occurrences that repeat an
+      earlier occurrence (1 - distinct/total) — boilerplate/looping text
+      scores high;
+    - ``top_ngram_frac``: share of the single most frequent n-gram
+      (the "top 2-gram coverage" filter) — computed as the longest equal
+      run of the SORTED gram array via one aggregate() fold, so there is
+      no per-document groupBy or explode: one row in, one row out.
+
+    Counts are exact integers (cross-engine safe); fractions are exact
+    IEEE divisions of those integers.  At 10^12 rows this is a pure map —
+    no shuffle, no Python.
+    """
+    grams = word_ngrams(text_col, n)
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def _merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_count = F.aggregate(
+        F.array_sort(grams), acc0, _merge, lambda acc: acc["best"]
+    )
+    n_grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        top_count.alias("top_gram_count"),
+        ((n_grams - n_distinct).cast("double") / n_grams.cast("double"))
+        .alias("dup_ngram_frac"),
+        (top_count.cast("double") / n_grams.cast("double"))
+        .alias("top_ngram_frac"),
+    )
+
+
 def rolling_fingerprints(col, window: int = 8,
                          token_hash: str | None = None) -> Column:
     """Rolling-hash shingle fingerprints of each ``window``-token shingle —

@@ -12,7 +12,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 FAST_ORACLED = ["filter_project", "topk_per_lang", "join_revenue",
                 "token_stats", "lang_id", "salted_agg", "json_extract",
                 "decode_media", "resize_images", "frame_plan",
-                "exact_dup_groups"]
+                "exact_dup_groups", "repetition_quality", "decontaminate",
+                "domain_quota", "incremental_dedup"]
 
 
 @pytest.fixture(scope="module")

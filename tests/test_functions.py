@@ -344,6 +344,80 @@ class TestJoins:
         assert [(r["fid"], r["rid"]) for r in out.collect()] == [(1, "ok")]
 
 
+class TestRepetitionStats:
+    def test_handcrafted_signals(self, spark):
+        from ocrd_calamari_spark.functions.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b a b a b"),        # grams: ab ba ab ba ab → top=3/5
+                (2, "x y z w"),            # all distinct → dup 0, top 1/3
+                (3, "spam spam spam spam"),  # one gram repeated 3×
+                (4, "solo"),               # shorter than n → 1 truncated gram
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in repetition_stats(df).collect()}
+        r1 = got[1]
+        assert (r1.n_grams, r1.n_distinct_grams, r1.top_gram_count) == (5, 2, 3)
+        assert r1.dup_ngram_frac == 3 / 5 and r1.top_ngram_frac == 3 / 5
+        r2 = got[2]
+        assert r2.dup_ngram_frac == 0.0 and r2.top_gram_count == 1
+        r3 = got[3]
+        assert (r3.n_grams, r3.n_distinct_grams, r3.top_gram_count) == (3, 1, 3)
+        assert r3.top_ngram_frac == 1.0
+        r4 = got[4]
+        assert (r4.n_tokens, r4.n_grams, r4.top_gram_count) == (1, 1, 1)
+
+
+class TestDecontaminate:
+    def test_flags_only_leaked_docs(self, spark):
+        from ocrd_calamari_spark.functions.dedup import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "q w e r t y u i o p")], ["doc_id", "text"]
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),              # clean
+                (2, "x x q w e r t y u i o p y y"),      # full 8-gram leak ×3 windows
+                (3, "q w e r t y u z z z z z z z"),      # only a 7-gram prefix → clean at n=8
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in
+               decontaminate(corpus, bench, n=8).collect()}
+        assert not got[1].contaminated and got[1].n_leaked_ngrams == 0
+        # doc 2 contains benchmark 8-grams "qwertyui","wertyuio","ertyuiop"
+        assert got[2].contaminated and got[2].n_leaked_ngrams == 3
+        assert not got[3].contaminated
+
+
+class TestIncrementalDedup:
+    def test_catalog_and_within_delta_paths(self, spark):
+        from ocrd_calamari_spark.functions.dedup import dedup_against_catalog
+        from ocrd_calamari_spark.functions.text import fingerprint
+
+        prior = spark.createDataFrame(
+            [(1, "old doc one"), (2, "old doc two")], ["doc_id", "text"]
+        )
+        catalog = prior.select(fingerprint("text").alias("fp")).distinct()
+        delta = spark.createDataFrame(
+            [
+                (10, "old doc one"),   # recrawl of catalog doc → dropped
+                (11, "new doc"),       # kept (min-id rep)
+                (12, "new doc"),       # within-delta dup → dropped
+                (13, "another new"),   # kept
+            ],
+            ["doc_id", "text"],
+        )
+        kept = sorted(
+            r.doc_id
+            for r in dedup_against_catalog(delta, catalog).collect()
+        )
+        assert kept == [11, 13]
+
+
 class TestAnnClusteredRecall:
     def test_lsh_and_ivf_recall_on_clustered_corpus(self, spark):
         """Quality pin for the 100 TB ANN story: on a CLUSTERED corpus —
