@@ -603,6 +603,56 @@ FROM pairs WHERE j >= 7e-1 ORDER BY id_a, id_b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the minhash pair graph
+    (component = min reachable doc_id) — pair lists alone can't drive
+    "keep one representative"; this is the grouping step production dedup
+    actually applies.  Min-label propagation + pointer jumping, O(log n)
+    rounds of (node, label) joins; the DuckDB oracle reaches the same
+    fixpoint with a recursive CTE over the identical all-pairs Jaccard
+    graph."""
+    from ocrd_calamari_spark.functions.dedup import connected_components
+
+    corpus = _with_injected_dups(spark, sf_dir)
+    pairs = minhash_dedup(corpus, threshold=0.7, n_hashes=64, bands=32)
+    out = connected_components(pairs)
+    return out.orderBy("component", "doc_id")
+
+
+DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+  FROM documents WHERE doc_id < 40
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tokens[i:i+2], ' ')
+                        for i in range(1, greatest(len(tokens)-2, 1)+1)]) AS s
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM corpus)
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1e0
+          / len(list_distinct(list_concat(a.s, b.s))) >= 7e-1
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b, id_a FROM p
+), nodes AS (
+  SELECT DISTINCT a AS v FROM edges
+), reach(v, lbl) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.v
+)
+SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+FROM reach GROUP BY v ORDER BY component, doc_id
+"""
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with the cross-engine md5 token hash so DuckDB
     reproduces the signatures bit-for-bit; pigeonhole chunk blocking has
@@ -1998,6 +2048,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_dedup": q_simhash_dedup,
     "exact_dup_groups": q_exact_dup_groups,
     "lsh_ann": q_lsh_ann,
@@ -2052,6 +2103,7 @@ ORACLES = {
     "cosine_topk_pandas": COSINE_TOPK_SQL,
     "bpe_token_count": BPE_TOKEN_SQL,
     "minhash_dedup": MINHASH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "simhash_dedup": SIMHASH_SQL,
     "embedding_near_dupes": EMB_NEAR_DUP_SQL,
     "decode_media": DECODE_MEDIA_SQL,

@@ -254,6 +254,77 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph — the step
+# after pair generation that production dedup actually needs (keep ONE
+# representative per cluster, not per pair).
+# ---------------------------------------------------------------------------
+def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(doc_id, component) for every node in ``pairs`` (id_a, id_b);
+    component = the minimum doc_id reachable through the pair graph.
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    takes the min label over {self} ∪ neighbors, then follows one label
+    indirection (label ← label(label)), which makes long chains collapse
+    in O(log n) rounds instead of O(diameter).  Labels decrease
+    monotonically and stay inside the component, so the fixpoint is the
+    component minimum.
+
+    Scale shape: only compact (node, label) and (a, b) id pairs ever
+    shuffle — never documents; the symmetric edge table is built once and
+    persisted (each round joins it twice).  Convergence is checked with a
+    scalar count per round (no data collect); near-dup graphs are
+    clique-like (diameter 1–2 after LSH), so 2–3 rounds is typical.
+    """
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        edges.groupBy("a").agg(F.min("b").alias("_nbr"))
+        .select(F.col("a").alias("node"),
+                F.least("a", "_nbr").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a").agg(F.min("label").alias("_nl"))
+            .select(F.col("a").alias("node"), "_nl")
+        )
+        stepped = (
+            labels.join(nbr_min, "node")
+            .select("node", F.least("label", "_nl").alias("label"))
+        )
+        ptr = stepped.select(F.col("node").alias("_pn"),
+                             F.col("label").alias("_pl"))
+        jumped = (
+            stepped.join(ptr, stepped["label"] == ptr["_pn"], "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("_pl", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            jumped.withColumnRenamed("label", "_new")
+            .join(labels, "node")
+            .where(F.col("_new") < F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination: flag training documents sharing any n-gram
 # with an evaluation set (the leakage scan every LLM data pipeline runs
 # before training).

@@ -393,6 +393,29 @@ class TestDecontaminate:
         assert not got[3].contaminated
 
 
+class TestConnectedComponents:
+    def test_path_triangle_and_pair(self, spark):
+        """Path graphs are the worst case for plain neighbor propagation
+        (O(diameter) rounds) — pointer jumping must still converge fast
+        and label every node with its component minimum."""
+        from ocrd_calamari_spark.functions.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # 7-node path
+             (10, 11), (11, 12), (10, 12),                    # triangle
+             (20, 21)],                                       # lone pair
+            ["id_a", "id_b"],
+        )
+        got = {r.doc_id: r.component
+               for r in connected_components(pairs).collect()}
+        assert {k: v for k, v in got.items() if k < 10} == {
+            i: 1 for i in range(1, 8)
+        }
+        assert got[10] == got[11] == got[12] == 10
+        assert got[20] == got[21] == 20
+        assert len(got) == 12
+
+
 class TestIncrementalDedup:
     def test_catalog_and_within_delta_paths(self, spark):
         from ocrd_calamari_spark.functions.dedup import dedup_against_catalog
