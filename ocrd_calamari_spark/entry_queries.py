@@ -1428,6 +1428,58 @@ ORDER BY f.doc_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing plan: documents (+1 EOS each) concatenated in
+    doc_id order and cut into 512-token training sequences — per doc, its
+    global start offset and the sequence ids it spans.  The global running
+    offset comes from the DISTRIBUTED prefix sum (range-bucket subtotals →
+    broadcast bases → within-bucket window), not a single-partition
+    global-order window; the oracle computes the same offsets with a plain
+    SQL window (correct in DuckDB, a funnel on a cluster)."""
+    from ocrd_calamari_spark.functions.text import packed_offsets
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.select(
+        "doc_id",
+        (F.expr(token_count_sql("text")) + 1).cast("long").alias("_w"),
+    )
+    o = packed_offsets(t, "doc_id", "_w", n_buckets=32)
+    seq = F.lit(512).cast("long")
+    last_tok = F.col("_start_offset") + F.col("_w") - 2  # last CONTENT token
+    return o.select(
+        "doc_id",
+        (F.col("_w") - 1).alias("n_tokens"),
+        F.col("_start_offset").alias("start_offset"),
+        F.floor(F.col("_start_offset") / seq).cast("long").alias("seq_first"),
+        F.floor(last_tok / seq).cast("long").alias("seq_last"),
+        (F.floor(last_tok / seq) - F.floor(F.col("_start_offset") / seq) + 1)
+        .cast("long").alias("n_seqs"),
+    ).orderBy("doc_id")
+
+
+def _pack_sequences_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST({token_count_sql('text')} AS BIGINT) AS tok
+  FROM documents
+), o AS (
+  SELECT doc_id, tok,
+         COALESCE(SUM(tok + 1) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM t
+)
+SELECT doc_id,
+       tok AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS seq_first,
+       CAST((start_offset + tok - 1) // 512 AS BIGINT) AS seq_last,
+       CAST((start_offset + tok - 1) // 512
+            - start_offset // 512 + 1 AS BIGINT) AS n_seqs
+FROM o ORDER BY doc_id
+"""
+
+
 def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data prep pipeline in one plan: exact dedup
     (keep min-id representative) → quality filter → language allowlist →
@@ -2046,6 +2098,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "domain_quota": q_domain_quota,
     "incremental_dedup": q_incremental_dedup,
+    "pack_sequences": q_pack_sequences,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
     "dedup_clusters": q_dedup_clusters,
@@ -2116,4 +2169,5 @@ ORACLES = {
     "decontaminate": DECONTAMINATE_SQL,
     "domain_quota": _domain_quota_sql(),
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
+    "pack_sequences": _pack_sequences_sql(),
 }

@@ -189,6 +189,60 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-slice token packing for LLM training
+# (documents + EOS concatenated in a global order, cut into fixed-length
+# sequences) — built on a DISTRIBUTED prefix sum, because the naive
+# global-order window (`Window.orderBy(...)` with no partition) funnels
+# the whole table through ONE task.
+# ---------------------------------------------------------------------------
+def packed_offsets(df, order_col: str, weight_col: str,
+                   n_buckets: int = 64):
+    """Exclusive running sum of ``weight_col`` in ``order_col`` order,
+    as a ``_start_offset`` column — the distributed prefix-sum pattern:
+
+    1. range-bucket rows by ``order_col`` (floor division by a width
+       derived from one max() aggregate);
+    2. per-bucket subtotals (tiny: ``n_buckets`` rows) get an exclusive
+       prefix sum on a single partition — bounded by construction;
+    3. the bases broadcast back and a within-bucket window adds the
+       local exclusive cumsum.
+
+    Equivalent to ``sum(weight) over (order by order_col rows unbounded
+    preceding to 1 preceding)`` but every unbounded-size operation is
+    partitioned; only the ``n_buckets``-row subtotal table is ever
+    single-task.  ``order_col`` must be unique (it is the tie-break).
+    """
+    from pyspark.sql import Window
+
+    mx = df.agg(F.max(order_col).alias("m")).collect()[0]["m"]
+    width = max(1, (int(mx) + n_buckets) // n_buckets)
+    b = df.withColumn(
+        "_bkt", F.floor(F.col(order_col) / F.lit(width)).cast("long")
+    )
+    subtotals = b.groupBy("_bkt").agg(
+        F.sum(weight_col).cast("long").alias("_sub")
+    )
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = subtotals.select(
+        "_bkt",
+        F.coalesce(F.sum("_sub").over(wb), F.lit(0)).alias("_base"),
+    )
+    wi = (
+        Window.partitionBy("_bkt").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(bases), "_bkt")
+        .withColumn(
+            "_start_offset",
+            (F.col("_base")
+             + F.coalesce(F.sum(weight_col).over(wi), F.lit(0))).cast("long"),
+        )
+        .drop("_bkt", "_base")
+    )
+
+
 def rolling_fingerprints(col, window: int = 8,
                          token_hash: str | None = None) -> Column:
     """Rolling-hash shingle fingerprints of each ``window``-token shingle —

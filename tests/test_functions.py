@@ -393,6 +393,36 @@ class TestDecontaminate:
         assert not got[3].contaminated
 
 
+class TestPackedOffsets:
+    def test_matches_global_window_for_any_bucket_count(self, spark):
+        """The distributed prefix sum (bucket subtotals + broadcast bases +
+        within-bucket window) must equal the single-window global cumsum
+        for every bucket count — including gaps in the order column and
+        n_buckets larger than the row count."""
+        from pyspark.sql import Window
+
+        from ocrd_calamari_spark.functions.text import packed_offsets
+
+        rows = [(i * 7 % 101, (i * 13) % 9 + 1) for i in range(80)]
+        df = spark.createDataFrame(rows, ["ord", "w"])
+        wref = Window.orderBy("ord").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        ref = {
+            r.ord: r.off
+            for r in df.select(
+                "ord",
+                F.coalesce(F.sum("w").over(wref), F.lit(0)).alias("off"),
+            ).collect()
+        }
+        for nb in (1, 3, 16, 500):
+            got = {
+                r.ord: r._start_offset
+                for r in packed_offsets(df, "ord", "w", n_buckets=nb).collect()
+            }
+            assert got == ref, f"n_buckets={nb}"
+
+
 class TestConnectedComponents:
     def test_path_triangle_and_pair(self, spark):
         """Path graphs are the worst case for plain neighbor propagation
