@@ -158,6 +158,27 @@ class TestCustomJoinPlans:
                 or "ShuffledHashJoin" in plan)
 
 
+class TestPipelineOperatorPlans:
+    def test_pack_sequences_big_window_is_partitioned(self, spark):
+        """The corpus-side running offset must be a window PARTITIONED by
+        the range bucket — a global-order (unpartitioned) window over the
+        big side funnels the whole table through one task.  The only
+        allowed unpartitioned window is the n_buckets-row subtotal prefix."""
+        from ocrd_calamari_spark.entry_queries import q_pack_sequences
+
+        plan = plan_of(q_pack_sequences(spark, SF), "simple")
+        # the weight cumsum window carries the bucket partition key
+        assert "windowspecdefinition(_bkt" in plan
+
+    def test_decontaminate_broadcasts_benchmark_grams(self, spark):
+        """The eval-gram set must broadcast — corpus text never shuffles
+        for the leak scan."""
+        from ocrd_calamari_spark.entry_queries import q_decontaminate
+
+        plan = plan_of(q_decontaminate(spark, SF), "simple")
+        assert "BroadcastHashJoin" in plan
+
+
 class TestSketchPlans:
     def test_kmv_plan_has_no_unbounded_collect(self, spark):
         """Regression pin for the bounded KMV form: the plan must carry
