@@ -1428,6 +1428,94 @@ ORDER BY f.doc_id
 """
 
 
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over a deterministic messy-url fixture
+    (mixed-case scheme/host, explicit default ports, tracking params,
+    fragments) — the normalization pass url-keyed dedup requires.  All
+    split/filter/concat HOFs; the oracle mirrors the split structure."""
+    from ocrd_calamari_spark.functions.urls import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0")
+    i = F.col("doc_id").cast("string")
+    messy = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTP://Host"), h, F.lit(".Example:80/d/"), i,
+                        F.lit("?utm_source=x&q=1#frag")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://host"), h, F.lit(".example:443/d/"), i,
+                       F.lit("?gclid=abc")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://Host"), h, F.lit(".example/d/"), i,
+                       F.lit("?a=1&utm_medium=m&b=2")))
+        .otherwise(F.concat(F.lit("http://host"), h, F.lit(".example/d/"), i))
+    )
+    return d.select(
+        "doc_id", messy.alias("url"),
+        canonical_url(messy).alias("canonical"),
+    ).orderBy("doc_id")
+
+
+CANONICAL_URL_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') AS h,
+         CAST(doc_id AS VARCHAR) AS i
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'HTTP://Host' || h || '.Example:80/d/' || i
+                       || '?utm_source=x&q=1#frag'
+           WHEN 1 THEN 'https://host' || h || '.example:443/d/' || i
+                       || '?gclid=abc'
+           WHEN 2 THEN 'https://Host' || h || '.example/d/' || i
+                       || '?a=1&utm_medium=m&b=2'
+           ELSE 'http://host' || h || '.example/d/' || i
+         END AS url
+  FROM m
+), s AS (
+  SELECT doc_id, url,
+         string_split(url, '#')[1] AS no_frag
+  FROM u
+), s2 AS (
+  SELECT doc_id, url,
+         string_split(no_frag, '?')[1] AS base,
+         CASE WHEN contains(no_frag, '?')
+              THEN array_to_string(string_split(no_frag, '?')[2:], '?')
+         END AS query
+  FROM s
+), s3 AS (
+  SELECT doc_id, url, query,
+         lower(string_split(base, '://')[1]) AS scheme,
+         string_split(base, '://')[2] AS hostpath
+  FROM s2
+), s4 AS (
+  SELECT doc_id, url, query, scheme,
+         lower(string_split(hostpath, '/')[1]) AS hostport,
+         CASE WHEN contains(hostpath, '/')
+              THEN '/' || array_to_string(string_split(hostpath, '/')[2:], '/')
+              ELSE '' END AS path
+  FROM s3
+), s5 AS (
+  SELECT doc_id, url, scheme, path,
+         CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+              THEN substr(hostport, 1, length(hostport) - 3)
+              WHEN scheme = 'https' AND hostport LIKE '%:443'
+              THEN substr(hostport, 1, length(hostport) - 4)
+              ELSE hostport END AS host,
+         array_to_string(list_filter(string_split(COALESCE(query, ''), '&'),
+           p -> NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'gclid=')
+                AND NOT starts_with(p, 'fbclid=') AND p <> ''), '&') AS q2
+  FROM s4
+)
+SELECT doc_id, url,
+       scheme || '://' || host || path
+       || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canonical
+FROM s5 ORDER BY doc_id
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing plan: documents (+1 EOS each) concatenated in
     doc_id order and cut into 512-token training sequences — per doc, its
@@ -2099,6 +2187,7 @@ QUERIES = {
     "domain_quota": q_domain_quota,
     "incremental_dedup": q_incremental_dedup,
     "pack_sequences": q_pack_sequences,
+    "canonical_urls": q_canonical_urls,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
     "dedup_clusters": q_dedup_clusters,
@@ -2170,4 +2259,5 @@ ORACLES = {
     "domain_quota": _domain_quota_sql(),
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "pack_sequences": _pack_sequences_sql(),
+    "canonical_urls": CANONICAL_URL_SQL,
 }

@@ -393,6 +393,27 @@ class TestDecontaminate:
         assert not got[3].contaminated
 
 
+class TestCanonicalUrl:
+    def test_normalizations(self, spark):
+        from ocrd_calamari_spark.functions.urls import canonical_url
+
+        cases = [
+            ("HTTP://Host.Example:80/A/B?utm_source=x&Q=1#frag",
+             "http://host.example/A/B?Q=1"),        # path/query case kept
+            ("https://x.example:443/p?gclid=abc", "https://x.example/p"),
+            ("https://x.example:8443/p", "https://x.example:8443/p"),  # non-default port kept
+            ("http://X.example?utm_source=1&a=2", "http://x.example?a=2"),  # no path
+            ("http://x.example/p?a=1&b=2#s", "http://x.example/p?a=1&b=2"),
+            ("http://x.example/p?a=?&b=2", "http://x.example/p?a=?&b=2"),  # later '?' stays in query
+            ("http://x.example/p", "http://x.example/p"),
+        ]
+        df = spark.createDataFrame(cases, ["url", "want"])
+        got = df.select("url", "want",
+                        canonical_url("url").alias("got")).collect()
+        for r in got:
+            assert r.got == r.want, (r.url, r.got, r.want)
+
+
 class TestPackedOffsets:
     def test_matches_global_window_for_any_bucket_count(self, spark):
         """The distributed prefix sum (bucket subtotals + broadcast bases +
