@@ -393,6 +393,79 @@ class TestDecontaminate:
         assert not got[3].contaminated
 
 
+class TestRepetitionStatsRandomized:
+    def test_matches_python_reference(self, spark):
+        """150 random token sequences (skewed vocab so repeats are common)
+        vs a pure-python reference — one Spark job, not one per example."""
+        import random
+        from collections import Counter
+
+        rng = random.Random(11)
+        vocab = [f"w{j}" for j in range(6)]
+        rows = []
+        for i in range(150):
+            n = rng.randint(1, 40)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        from ocrd_calamari_spark.functions.text import repetition_stats
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r for r in repetition_stats(df).collect()}
+        for i, text in rows:
+            toks = text.split(" ")
+            grams = ([" ".join(toks[k:k + 2])
+                      for k in range(max(len(toks) - 1, 1))]
+                     if len(toks) > 1 else [toks[0]])
+            c = Counter(grams)
+            r = got[i]
+            assert r.n_grams == len(grams)
+            assert r.n_distinct_grams == len(c)
+            assert r.top_gram_count == max(c.values())
+
+
+class TestCanonicalUrlRandomized:
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from ocrd_calamari_spark.functions.urls import canonical_url
+
+        rng = random.Random(5)
+
+        def ref(url: str) -> str:
+            no_frag = url.split("#", 1)[0]
+            base, _, query = no_frag.partition("?")
+            scheme, _, hostpath = base.partition("://")
+            scheme = scheme.lower()
+            hostport, slash, path = hostpath.partition("/")
+            hostport = hostport.lower()
+            if scheme == "http" and hostport.endswith(":80"):
+                hostport = hostport[:-3]
+            elif scheme == "https" and hostport.endswith(":443"):
+                hostport = hostport[:-4]
+            kept = [p for p in query.split("&")
+                    if p and not p.startswith(("utm_", "gclid=", "fbclid="))]
+            return (scheme + "://" + hostport + (slash + path if slash else "")
+                    + ("?" + "&".join(kept) if kept else ""))
+
+        urls = []
+        for i in range(150):
+            scheme = rng.choice(["http", "HTTP", "https", "HtTpS"])
+            host = rng.choice(["Site.Example", "a.b.example", "X9.example"])
+            port = rng.choice(["", ":80", ":443", ":8080"])
+            path = rng.choice(["", "/p", "/A/B.html", "/p/q/r"])
+            params = "&".join(
+                rng.sample(["a=1", "utm_source=x", "B=2", "gclid=g",
+                            "fbclid=f", "z=%20"], rng.randint(0, 4))
+            )
+            frag = rng.choice(["", "#sec", "#a?b"])
+            urls.append((i, f"{scheme}://{host}{port}{path}"
+                            f"{'?' + params if params else ''}{frag}"))
+        df = spark.createDataFrame(urls, ["i", "url"])
+        got = {r.i: r.c for r in
+               df.select("i", canonical_url("url").alias("c")).collect()}
+        for i, u in urls:
+            assert got[i] == ref(u), (u, got[i], ref(u))
+
+
 class TestCanonicalUrl:
     def test_normalizations(self, spark):
         from ocrd_calamari_spark.functions.urls import canonical_url
