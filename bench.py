@@ -56,6 +56,9 @@ HEADLINE = [
     "token_stats",
     "quality_scores",
     "lang_id",
+    "repetition_quality",
+    "decontaminate",
+    "pack_sequences",
     "minhash_dedup",
     "simhash_dedup",
 ]
