@@ -1441,6 +1441,88 @@ ORDER BY f.doc_id
 """
 
 
+def q_prepare_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL near-dup-aware corpus prep in one composition: banded-LSH
+    minhash pairs → connected components → drop every non-representative
+    cluster member → language-ID + quality filter → per-lang budget.
+    Each stage is an engine operator the driver also checks individually
+    (minhash_dedup, dedup_clusters, lang_id, quality_scores,
+    prepare_corpus); this query proves the whole chain composes, and the
+    DuckDB oracle replays it end to end (recursive-CTE components over
+    the identical all-pairs Jaccard graph)."""
+    from ocrd_calamari_spark.functions.dedup import connected_components
+
+    corpus = _with_injected_dups(spark, sf_dir)
+    pairs = minhash_dedup(corpus, threshold=0.7, n_hashes=64, bands=32)
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    drop = comps.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    kept = corpus.join(drop, "doc_id", "left_anti")
+    scored = kept.select(
+        F.expr(lang_id_sql("text")).alias("lang"),
+        F.expr(quality_score_sql("text")).alias("q"),
+        F.expr(token_count_sql("text")).alias("tok"),
+    ).where(F.col("q") >= 0.5)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("sum_tokens"),
+            F.sum(F.col("q").cast("decimal(18,4)"))
+            .cast("double").alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _prepare_corpus_neardup_sql() -> str:
+    return rf"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+  FROM documents WHERE doc_id < 40
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tokens[i:i+2], ' ')
+                        for i in range(1, greatest(len(tokens)-2, 1)+1)]) AS s
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM corpus)
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1e0
+          / len(list_distinct(list_concat(a.s, b.s))) >= 7e-1
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b, id_a FROM p
+), nodes AS (
+  SELECT DISTINCT a AS v FROM edges
+), reach(v, lbl) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.v
+), comp AS (
+  SELECT v AS doc_id, min(lbl) AS component FROM reach GROUP BY v
+), drp AS (
+  SELECT doc_id FROM comp WHERE doc_id <> component
+), kept AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  ANTI JOIN drp d ON c.doc_id = d.doc_id
+), scored AS (
+  SELECT {lang_id_sql('text')} AS lang,
+         {quality_score_sql('text')} AS q,
+         {token_count_sql('text')} AS tok
+  FROM kept
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
+FROM scored WHERE q >= 5e-1 GROUP BY lang ORDER BY lang
+"""
+
+
 def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over a deterministic messy-url fixture
     (mixed-case scheme/host, explicit default ports, tracking params,
@@ -2201,6 +2283,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "pack_sequences": q_pack_sequences,
     "canonical_urls": q_canonical_urls,
+    "prepare_corpus_neardup": q_prepare_corpus_neardup,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
     "dedup_clusters": q_dedup_clusters,
@@ -2273,4 +2356,5 @@ ORACLES = {
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "pack_sequences": _pack_sequences_sql(),
     "canonical_urls": CANONICAL_URL_SQL,
+    "prepare_corpus_neardup": _prepare_corpus_neardup_sql(),
 }

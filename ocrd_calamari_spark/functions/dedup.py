@@ -345,18 +345,20 @@ def decontaminate(
     counts — only (id, gram) pairs for MATCHING grams ever reach the
     aggregation, and the corpus text itself never shuffles (the final
     flag join is a broadcast of the tiny hit table onto corpus ids).
+    Grams travel as xxhash64 i64s, not strings — an 8-token gram is
+    ~50 bytes, the hash is 8; a 2^-64 collision flags one extra doc,
+    the standard trade every production decontamination pipeline makes.
     """
     from ocrd_calamari_spark.functions.text import word_ngrams
 
+    gram_hashes = F.array_distinct(
+        F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
+    )
     bench_grams = F.broadcast(
-        benchmark.select(
-            F.explode(word_ngrams(text_col, n)).alias("_g")
-        ).distinct()
+        benchmark.select(F.explode(gram_hashes).alias("_g")).distinct()
     )
     doc_grams = corpus.select(
-        F.col(id_col), F.explode_outer(
-            F.array_distinct(word_ngrams(text_col, n))
-        ).alias("_g")
+        F.col(id_col), F.explode_outer(gram_hashes).alias("_g")
     )
     hits = (
         doc_grams.join(bench_grams, "_g")
