@@ -780,6 +780,24 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k: 8 codes/vector index + ADC
+    gather-sum scoring (see functions/simsearch.py:pq_topk).  Approximate
+    scores → rows-only; recall quantified in ann_recall."""
+    from ocrd_calamari_spark.functions.simsearch import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(emb, queries, k=10, m=8, n_centroids=16, train_rows=512,
+                  rerank=100)
+    return out.select(
+        "query_id", "vec_id",
+        F.round("cosine_sim", 4).alias("cosine_sim"), "rank",
+    ).orderBy("query_id", "rank")
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-evaluating ANN quality: recall@10 of the LSH and IVF indexes
     against the exact brute-force top-10, computed in-plan (semi-join of
@@ -802,7 +820,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     even though the recall VALUES stay rows-only (the approx structure is
     hyperplane/centroid-specific, not SQL-expressible)."""
     from ocrd_calamari_spark.functions.simsearch import (
-        brute_force_topk, ivf_topk, lsh_topk,
+        brute_force_topk, ivf_topk, lsh_topk, pq_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -832,6 +850,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lsh", lsh_topk(corpus, queries, k=10, dim=64, n_planes=6)),
             ("ivf", ivf_topk(corpus, queries, k=10, n_centroids=16,
                              n_probe=4, train_rows=512)),
+            ("pq", pq_topk(corpus, queries, k=10, m=8, n_centroids=16,
+                           train_rows=512, rerank=100)),
         ):
             hits = (
                 adf.select("query_id", "vec_id")
@@ -2291,6 +2311,7 @@ QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
+    "pq_ann": q_pq_ann,
     "ann_recall": q_ann_recall,
     "cosine_topk_pandas": q_cosine_topk_pandas,
     "embedding_near_dupes": q_embedding_near_dupes,

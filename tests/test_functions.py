@@ -576,7 +576,7 @@ class TestAnnClusteredRecall:
         import numpy as np
 
         from ocrd_calamari_spark.functions.simsearch import (
-            brute_force_topk, ivf_topk, lsh_topk,
+            brute_force_topk, ivf_topk, lsh_topk, pq_topk,
         )
 
         rng = np.random.RandomState(7)
@@ -605,6 +605,8 @@ class TestAnnClusteredRecall:
                              n_tables=4)),
             ("ivf", ivf_topk(corpus, queries, k=10, n_centroids=8,
                              n_probe=2, train_rows=512)),
+            ("pq", pq_topk(corpus, queries, k=10, m=8, n_centroids=16,
+                           train_rows=512, rerank=60)),
         ):
             hits = (adf.select("query_id", "vec_id")
                     .join(exact, ["query_id", "vec_id"], "left_semi").count())
@@ -612,6 +614,7 @@ class TestAnnClusteredRecall:
         exact.unpersist()
         assert recalls["lsh"] >= 0.9, recalls
         assert recalls["ivf"] >= 0.9, recalls
+        assert recalls["pq"] >= 0.9, recalls
 
 
 class TestDedupSkew:
