@@ -129,6 +129,13 @@ def with_part_id(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+# Output codec for every parquet the engine writes.  zstd over the default
+# snappy: ~25-35% smaller text-heavy parquet at comparable encode speed —
+# at 100 TB of output that difference is tens of TB of storage and scan
+# I/O for every downstream reader.  Read-side is codec-agnostic.
+OUTPUT_COMPRESSION = "zstd"
+
+
 def write_bucketed_staging(df: DataFrame, path: str, n_buckets: int,
                            url_col: str = "url") -> None:
     """One-pass staging write partitioned by the resume bucket — the
@@ -143,6 +150,7 @@ def write_bucketed_staging(df: DataFrame, path: str, n_buckets: int,
             F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int"),
         )
         .write.mode("overwrite")
+        .option("compression", OUTPUT_COMPRESSION)
         .partitionBy("bucket")
         .parquet(path)
     )
@@ -362,7 +370,9 @@ def run_extraction(
             accumulators=accs, lineage_cols=lineage_cols,
         )
         chunk_dir = os.path.join(data_dir, "chunk=%d" % chunk_id)
-        result.write.mode("overwrite").parquet(chunk_dir)
+        result.write.mode("overwrite").option(
+            "compression", OUTPUT_COMPRESSION
+        ).parquet(chunk_dir)
         # cheap committed-output scan for exact counters (column-pruned)
         committed = spark.read.parquet(chunk_dir)
         counts = committed.agg(
@@ -465,7 +475,9 @@ def compact_output(spark: SparkSession, out_dir: str,
         (
             spark.read.parquet(chunk_dir)
             .coalesce(target_files_per_chunk)
-            .write.mode("overwrite").parquet(tmp_dir)
+            .write.mode("overwrite").option(
+                "compression", OUTPUT_COMPRESSION
+            ).parquet(tmp_dir)
         )
         # explicit check, not assert: under `python -O` asserts vanish and
         # a marker-less write would delete the only copy of the chunk
