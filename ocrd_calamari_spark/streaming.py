@@ -83,11 +83,20 @@ def stateful_url_dedup(pages: DataFrame, n_groups: int = 256,
     observed (exact forever-dedup — the state store eventually becomes the
     corpus).  With a TTL, a url is emitted at most once per ``ttl_seconds``
     recrawl window: entries older than the window are evicted on every
-    group invocation, and a ``ProcessingTimeTimeout`` sweeps groups that
-    stop receiving data (without it an idle group's last window would pin
-    its state forever).  Emitting does NOT refresh the window — a url that
+    group invocation.  Emitting does NOT refresh the window — a url that
     keeps recrawling re-emits once per window rather than being suppressed
     indefinitely.
+
+    Eviction is data-path only, deliberately: the group key is a bounded
+    url-hash bucket (``n_groups`` of them), so under any live crawl every
+    group keeps receiving rows and evicts every micro-batch — total state
+    ≤ urls-per-window + one stale window on a group that stops receiving
+    data entirely (impossible under uniform hashing unless the stream
+    itself stops).  A ``ProcessingTimeTimeout`` sweep was MEASURED and
+    rejected: any registered processing-time timer makes
+    ``trigger(availableNow=True)`` queries spin empty micro-batches
+    without terminating (~1/s, even with no expired timer), breaking the
+    run-per-crawl-drop deployment mode this pipeline uses.
 
     ``_clock``: test hook — a picklable ``() -> float`` epoch-seconds
     source shipped to the workers inside the state function's closure
@@ -114,18 +123,6 @@ def stateful_url_dedup(pages: DataFrame, n_groups: int = 256,
         return int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
 
     def _dedup(key, pdfs, state):
-        if state.hasTimedOut:
-            # only reachable with a TTL: re-evict, and drop the group
-            # entirely once every entry has aged out
-            hashes, stamps = state.get
-            cutoff = int(now_fn() * 1000) - ttl_ms
-            live = [(h, t) for h, t in zip(hashes, stamps) if t >= cutoff]
-            if live:
-                state.update(([h for h, _ in live], [t for _, t in live]))
-                state.setTimeoutDuration(ttl_ms)
-            else:
-                state.remove()
-            return
         now_ms = int(now_fn() * 1000)
         if state.exists:
             hashes, stamps = state.get
@@ -149,8 +146,6 @@ def stateful_url_dedup(pages: DataFrame, n_groups: int = 256,
                 yield out
         if seen:
             state.update((list(seen.keys()), list(seen.values())))
-            if ttl_ms is not None:
-                state.setTimeoutDuration(ttl_ms)
         elif state.exists:
             state.remove()
 
@@ -160,8 +155,7 @@ def stateful_url_dedup(pages: DataFrame, n_groups: int = 256,
     ).groupBy("grp")
     return grouped.applyInPandasWithState(
         _dedup, out_schema, state_schema, "append",
-        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
-        else GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout,
     )
 
 

@@ -151,6 +151,32 @@ class TestStatefulDedup:
         from collections import Counter
         assert set(Counter(u for u in urls2).values()) == {2}
 
+    def test_ttl_mode_terminates_available_now(self, spark, tmp_path,
+                                               pages_pdf):
+        """Regression pin for the eviction DESIGN: a processing-time
+        timeout sweep was measured to make trigger(availableNow=True)
+        queries spin empty micro-batches (~1/s) without ever terminating
+        — even with no expired timer — which breaks the run-per-crawl-drop
+        deployment mode.  Data-path-only eviction must terminate promptly."""
+        from ocrd_calamari_spark.gen import write_pages_parquet
+        from ocrd_calamari_spark.streaming import (
+            read_pages_stream, stateful_url_dedup,
+        )
+
+        in_dir = tmp_path / "in"; in_dir.mkdir()
+        write_pages_parquet(pages_pdf.iloc[:40], str(in_dir / "d1.parquet"))
+        pages = read_pages_stream(spark, str(in_dir))
+        q = (stateful_url_dedup(pages, n_groups=8, ttl_seconds=1.0)
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        finished = q.awaitTermination(60)
+        if not finished:
+            q.stop()
+        assert finished, "availableNow query with TTL never terminated"
+        assert len(q.recentProgress) <= 5  # no empty-batch spinning
+
     def test_within_batch_duplicates_collapse(self, spark, tmp_path,
                                               pages_pdf):
         """Two copies of a url in the SAME micro-batch emit once."""
