@@ -1461,6 +1461,50 @@ ORDER BY f.doc_id
 """
 
 
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction over the synthesized pages: (page url, link_no,
+    href) exploded from every href attribute — the crawl-native source of
+    the link graph (out-links feed frontier scheduling and graph metrics).
+    JVM regexp_extract_all; the pattern is valid in Java regex AND RE2 so
+    DuckDB reproduces it exactly.  At 100 TB this is a pure map over the
+    pages scan — no shuffle."""
+    pages = pages_from_documents(spark, sf_dir)
+    hrefs = F.expr(
+        r"""regexp_extract_all(cast(html as string), 'href="([^"]*)"', 1)"""
+    )
+    out = pages.select(F.col("url"), F.posexplode(hrefs).alias(
+        "link_no", "href"))
+    return out.select(
+        "url", F.col("link_no").cast("bigint").alias("link_no"), "href"
+    ).orderBy("url", "link_no")
+
+
+def _extract_links_sql() -> str:
+    # page template derived from the SAME constants the Spark fixture
+    # uses — the two sides cannot drift apart
+    head = _PAGE_HEAD.replace("'", "''")
+    foot = _PAGE_FOOT.replace("'", "''")
+    return f"""
+WITH pages AS (
+  SELECT 'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+         || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+         '{head}' || '<article><h1>Document ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text || '</p></article>' || '{foot}' AS html
+  FROM documents
+), links AS (
+  SELECT url, regexp_extract_all(html, 'href="([^"]*)"', 1) AS hrefs
+  FROM pages
+), e AS (
+  SELECT url,
+         generate_subscripts(hrefs, 1) - 1 AS link_no,
+         unnest(hrefs) AS href
+  FROM links
+)
+SELECT url, CAST(link_no AS BIGINT) AS link_no, href
+FROM e ORDER BY url, link_no
+"""
+
+
 def q_prepare_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL near-dup-aware corpus prep in one composition: banded-LSH
     minhash pairs → connected components → drop every non-representative
@@ -2303,6 +2347,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "pack_sequences": q_pack_sequences,
     "canonical_urls": q_canonical_urls,
+    "extract_links": q_extract_links,
     "prepare_corpus_neardup": q_prepare_corpus_neardup,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
@@ -2377,5 +2422,6 @@ ORACLES = {
     "incremental_dedup": INCREMENTAL_DEDUP_SQL,
     "pack_sequences": _pack_sequences_sql(),
     "canonical_urls": CANONICAL_URL_SQL,
+    "extract_links": _extract_links_sql(),
     "prepare_corpus_neardup": _prepare_corpus_neardup_sql(),
 }
