@@ -1505,6 +1505,31 @@ FROM e ORDER BY url, link_no
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the extracted link graph (pages → their hrefs,
+    resolved against the page host): 10 fixed power iterations of pure
+    DataFrame algebra with dangling-mass redistribution.  Iterative →
+    not single-query SQL; rows-only for the driver, with a numpy
+    power-iteration parity test in tests/test_functions.py."""
+    from ocrd_calamari_spark.functions.graph import pagerank
+
+    links = q_extract_links(spark, sf_dir)
+    host = F.concat(
+        F.lit("https://"),
+        F.element_at(F.split(F.element_at(F.split("url", "://", 2), 2),
+                             "/", 2), 1),
+    )
+    edges = links.select(
+        F.col("url").alias("src"),
+        F.concat(host, F.col("href")).alias("dst"),
+    )
+    out = pagerank(edges, damping=0.85, iters=10)
+    return out.select(
+        "node",
+        F.expr("cast(floor(rank * 1e7 + 5e-1) / 1e7 as double)").alias("rank"),
+    ).orderBy(F.desc("rank"), "node")
+
+
 def q_prepare_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL near-dup-aware corpus prep in one composition: banded-LSH
     minhash pairs → connected components → drop every non-representative
@@ -2348,6 +2373,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "canonical_urls": q_canonical_urls,
     "extract_links": q_extract_links,
+    "pagerank_links": q_pagerank,
     "prepare_corpus_neardup": q_prepare_corpus_neardup,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,

@@ -517,6 +517,38 @@ class TestPackedOffsets:
             assert got == ref, f"n_buckets={nb}"
 
 
+class TestPageRank:
+    def test_matches_numpy_power_iteration(self, spark):
+        """Same fixed-iteration formulation (dangling mass redistributed
+        uniformly) as a dense numpy reference; allclose, not bitwise —
+        distributed float sums are order-dependent."""
+        import numpy as np
+
+        from ocrd_calamari_spark.functions.graph import pagerank
+
+        # 0→1, 0→2, 1→2, 2→0, 3→2 ; node 4 is dangling (only a target)
+        pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4)]
+        edges = spark.createDataFrame(pairs, ["src", "dst"])
+        iters, d = 10, 0.85
+        got = {r.node: r.rank
+               for r in pagerank(edges, damping=d, iters=iters).collect()}
+
+        nodes = sorted({x for p in pairs for x in p})
+        n = len(nodes)
+        out = {u: [v for (s, v) in pairs if s == u] for u in nodes}
+        r = {u: 1.0 / n for u in nodes}
+        for _ in range(iters):
+            dangling = sum(r[u] for u in nodes if not out[u])
+            nr = {}
+            for u in nodes:
+                c = sum(r[v] / len(out[v]) for v in nodes if u in out[v])
+                nr[u] = (1 - d) / n + d * (c + dangling / n)
+            r = nr
+        for u in nodes:
+            assert np.isclose(got[u], r[u], atol=1e-12), (u, got[u], r[u])
+        assert np.isclose(sum(got.values()), 1.0, atol=1e-9)
+
+
 class TestConnectedComponents:
     def test_path_triangle_and_pair(self, spark):
         """Path graphs are the worst case for plain neighbor propagation
