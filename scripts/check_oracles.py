@@ -44,6 +44,9 @@ def main():
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
+        # the gate runs 60+ queries in one session; default 1g driver heap
+        # has flaked with GC-pressure stack traces under concurrent load
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
