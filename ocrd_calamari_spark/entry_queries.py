@@ -839,6 +839,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = []
     for regime, corpus in (("iid", emb), ("clustered", clustered)):
+        # the corpus feeds 4 index builds × several scans each (count,
+        # train collect, encode, verify joins) — persist per regime
+        corpus = corpus.persist()
         queries = corpus.where(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
@@ -860,6 +863,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out.append((method, regime, float(hits) / n_truth, n_truth))
         exact.unpersist()  # fully consumed — don't pin it for the session
+        corpus.unpersist()
     return spark.createDataFrame(
         out, ["method", "regime", "recall_at_10", "n_truth"]
     ).orderBy("method", "regime")
@@ -1524,6 +1528,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(host, F.col("href")).alias("dst"),
     )
     out = pagerank(edges, damping=0.85, iters=10)
+    # 1e-7 quantization is DISPLAY smoothing, not a determinism guarantee:
+    # distributed float sums are order-dependent at ~1e-16 relative, so a
+    # rank landing within an ulp of a grid boundary could floor either way
+    # across runs (probability ~1e-10/value) — acceptable for a rows-only
+    # query; the numpy parity test asserts allclose, not bitwise.
     return out.select(
         "node",
         F.expr("cast(floor(rank * 1e7 + 5e-1) / 1e7 as double)").alias("rank"),

@@ -274,6 +274,11 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     persisted (each round joins it twice).  Convergence is checked with a
     scalar count per round (no data collect); near-dup graphs are
     clique-like (diameter 1–2 after LSH), so 2–3 rounds is typical.
+
+    The RETURNED DataFrame is persisted (its lineage is the whole
+    iteration chain — recomputing it on every downstream action would
+    re-run the loop): the caller owns the unpersist, or clears the cache
+    between jobs like bench.py / scripts/check_oracles.py do.
     """
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = e.union(
@@ -285,41 +290,43 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                 F.least("a", "_nbr").alias("label"))
         .persist()
     )
-    for _ in range(max_iters):
-        nbr_min = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .groupBy("a").agg(F.min("label").alias("_nl"))
-            .select(F.col("a").alias("node"), "_nl")
-        )
-        stepped = (
-            labels.join(nbr_min, "node")
-            .select("node", F.least("label", "_nl").alias("label"))
-        )
-        ptr = stepped.select(F.col("node").alias("_pn"),
-                             F.col("label").alias("_pl"))
-        jumped = (
-            stepped.join(ptr, stepped["label"] == ptr["_pn"], "left")
-            .select(
-                "node",
-                F.least("label", F.coalesce("_pl", "label")).alias("label"),
+    try:
+        for _ in range(max_iters):
+            nbr_min = (
+                edges.join(labels, edges["b"] == labels["node"])
+                .groupBy("a").agg(F.min("label").alias("_nl"))
+                .select(F.col("a").alias("node"), "_nl")
             )
-            .persist()
-        )
-        changed = (
-            jumped.withColumnRenamed("label", "_new")
-            .join(labels, "node")
-            .where(F.col("_new") < F.col("label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = jumped
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds"
-        )
-    edges.unpersist()
+            stepped = (
+                labels.join(nbr_min, "node")
+                .select("node", F.least("label", "_nl").alias("label"))
+            )
+            ptr = stepped.select(F.col("node").alias("_pn"),
+                                 F.col("label").alias("_pl"))
+            jumped = (
+                stepped.join(ptr, stepped["label"] == ptr["_pn"], "left")
+                .select(
+                    "node",
+                    F.least("label", F.coalesce("_pl", "label")).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                jumped.withColumnRenamed("label", "_new")
+                .join(labels, "node")
+                .where(F.col("_new") < F.col("label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = jumped
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds"
+            )
+    finally:
+        edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("component"))
 

@@ -35,6 +35,10 @@ def pagerank(
     sums are order-dependent across partitions, so parity with the numpy
     reference is allclose, not bitwise — same caveat every distributed
     PageRank carries.
+
+    The RETURNED DataFrame is persisted (its lineage is the full
+    iteration chain); the caller owns the unpersist, or clears the cache
+    between jobs like bench.py / scripts/check_oracles.py do.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")

@@ -216,6 +216,8 @@ def packed_offsets(df, order_col: str, weight_col: str,
     from pyspark.sql import Window
 
     mx = df.agg(F.max(order_col).alias("m")).collect()[0]["m"]
+    if mx is None:  # empty input: zero rows, but keep the output schema
+        return df.withColumn("_start_offset", F.lit(0).cast("long"))
     width = max(1, (int(mx) + n_buckets) // n_buckets)
     b = df.withColumn(
         "_bkt", F.floor(F.col(order_col) / F.lit(width)).cast("long")

@@ -158,10 +158,12 @@ def _warc_ts(headers: dict):
         return None
 
 
-# file-level decompression-bomb cap: 16× the per-record entity cap.  A
-# legitimate CC segment is ~1 GB compressed / a few GB inflated; a hostile
-# archive must not be able to amplify past this into executor memory.
-_MAX_FILE_BYTES = 16 * _MAX_ENTITY_BYTES
+# file-level decompression-bomb cap: 128× the per-record entity cap
+# (8 GiB).  A legitimate CC segment is ~1 GB compressed and inflates to a
+# few GB — the cap must sit comfortably ABOVE that (a too-tight cap fails
+# valid input), while still stopping a hostile archive from amplifying
+# arbitrarily into executor memory (gzip allows ~1000×).
+_MAX_FILE_BYTES = 128 * _MAX_ENTITY_BYTES
 
 
 def _bounded_gunzip_members(data: bytes, max_total: int) -> bytes:
@@ -174,9 +176,14 @@ def _bounded_gunzip_members(data: bytes, max_total: int) -> bytes:
     does more than ``max_total`` (+ one piece) exist in memory, unlike a
     whole-file ``gzip.decompress`` whose output is unbounded before any
     record-level cap can apply.  Exceeding the cap raises ValueError (a
-    clear per-file task error beats a silent executor OOM); trailing
-    garbage after the last complete member is ignored, matching
-    ``gzip.decompress``'s tolerance of padded archives.
+    clear per-file task error beats a silent executor OOM).
+
+    Corruption vs trailer padding: leftover bytes that do NOT start with
+    the gzip magic are trailer garbage (padded archives exist in the
+    wild) and end the walk silently; a zlib error INSIDE a member that
+    did start with the magic is real corruption and raises — silently
+    returning a prefix there would drop the rest of the file's records
+    from the corpus with no error anywhere.
     """
     import zlib
 
@@ -184,6 +191,8 @@ def _bounded_gunzip_members(data: bytes, max_total: int) -> bytes:
     buf = data
     piece = 8 << 20
     while buf:
+        if not buf.startswith(b"\x1f\x8b"):
+            return bytes(out)  # trailer garbage after the last member
         d = zlib.decompressobj(16 + 15)  # gzip wrapper
         tail = buf
         try:
@@ -200,8 +209,8 @@ def _bounded_gunzip_members(data: bytes, max_total: int) -> bytes:
                 if not d.unconsumed_tail:
                     return bytes(out)  # truncated final member: keep output
                 tail = d.unconsumed_tail
-        except zlib.error:
-            return bytes(out)  # non-gzip trailer / corrupt member: stop
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member in archive: {exc}") from exc
     return bytes(out)
 
 

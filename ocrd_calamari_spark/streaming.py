@@ -102,6 +102,13 @@ def stateful_url_dedup(pages: DataFrame, n_groups: int = 256,
     source shipped to the workers inside the state function's closure
     (processing-time eviction can't be driven deterministically from the
     driver otherwise).  Default: ``time.time``.
+
+    State-schema note: this version stores (seen, first_ts) ARRAYS (the
+    earlier schema was the bare seen array).  Spark's state-store schema
+    check rejects restarting an OLD checkpoint under the new schema —
+    drain the old query and discard its checkpoint (the state is a dedup
+    cache, not data; re-seeding costs one recrawl window of duplicates).
+    Same migration story as sessionize_stream's schema note below.
     """
     import time
 

@@ -515,6 +515,9 @@ class TestPackedOffsets:
                 for r in packed_offsets(df, "ord", "w", n_buckets=nb).collect()
             }
             assert got == ref, f"n_buckets={nb}"
+        # empty input: zero rows out, schema intact (no max() crash)
+        empty = packed_offsets(df.where("ord < 0"), "ord", "w")
+        assert empty.collect() == [] and "_start_offset" in empty.columns
 
 
 class TestPageRank:

@@ -118,6 +118,33 @@ class TestFileLevelBombCap:
         with pytest.raises(ValueError, match="file cap"):
             list(records_to_rows("bomb.warc.gz", bomb))
 
+    def test_mid_member_corruption_raises_not_silently_truncates(
+        self, pages_pdf, tmp_path
+    ):
+        """A flipped byte INSIDE a gzip member is corruption, not trailer
+        padding — returning a partial prefix there would silently drop the
+        rest of the file's records from the corpus."""
+        from ocrd_calamari_spark.sources.warc import _bounded_gunzip_members
+
+        plain = str(tmp_path / "x.warc")
+        write_warc(pages_pdf.head(10), plain)
+        data = open(plain, "rb").read()
+        m1 = gzip.compress(data[:2000])
+        m2 = gzip.compress(data[2000:])
+        bad = bytearray(m1 + m2)
+        flip = len(m1) + len(m2) // 2  # middle of member 2
+        bad[flip] ^= 0xFF
+        with pytest.raises(ValueError, match="corrupt gzip member"):
+            _bounded_gunzip_members(bytes(bad), 64 << 20)
+
+    def test_legit_sized_archive_passes_cap(self, tmp_path):
+        """The file cap must sit ABOVE legitimate Common-Crawl-scale
+        inflation (a few GB) — probe with the module constants instead of
+        a multi-GB fixture."""
+        import ocrd_calamari_spark.sources.warc as w
+
+        assert w._MAX_FILE_BYTES >= 8 << 30
+
     def test_truncated_member_keeps_decoded_prefix(self, pages_pdf, tmp_path):
         from ocrd_calamari_spark.sources.warc import _bounded_gunzip_members
 
