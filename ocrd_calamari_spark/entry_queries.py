@@ -2304,6 +2304,78 @@ FROM (
 """
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the window-fingerprint
+    approximation of suffix-array substring dedup (flag documents whose
+    token windows were already claimed by an earlier doc, even when the
+    whole document is not a near-dup).  8-token rolling windows on the
+    portable md5 hash; a window occurrence counts as duplicated when its
+    hash's minimum doc_id is smaller than the owner's.  Only
+    (doc_id, window_hash) pairs shuffle — text never moves past the
+    window pass.  Corpus includes the injected near-dup copies, which
+    must come out ~fully-claimed."""
+    from ocrd_calamari_spark.functions.dedup import PORTABLE_TOKEN_HASH_SQL
+    from ocrd_calamari_spark.functions.text import rolling_fingerprints
+
+    corpus = _with_injected_dups(spark, sf_dir)
+    fps = rolling_fingerprints("text", window=8,
+                               token_hash=PORTABLE_TOKEN_HASH_SQL)
+    w = corpus.select(
+        "doc_id", F.size(fps).alias("n_windows"), F.explode(fps).alias("_h")
+    )
+    claims = w.groupBy("_h").agg(F.min("doc_id").alias("_claimer"))
+    per_doc = (
+        w.join(claims, "_h")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_windows").cast("bigint").alias("n_windows"),
+            F.sum((F.col("_claimer") < F.col("doc_id")).cast("long"))
+            .alias("n_dup_windows"),
+        )
+    )
+    frac = F.col("n_dup_windows").cast("double") / F.col("n_windows")
+    return per_doc.select(
+        "doc_id", "n_windows", "n_dup_windows",
+        F.expr(
+            "cast(floor(n_dup_windows / cast(n_windows as double) * 1e4 "
+            "+ 5e-1) / 1e4 as double)"
+        ).alias("dup_frac"),
+        (frac >= 0.5).alias("mostly_duplicated"),
+    ).orderBy("doc_id")
+
+
+SPAN_DEDUP_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+  FROM documents WHERE doc_id < 40
+), w AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(array_to_string(tokens[i:i+7], ' ')), 1, 15))::BIGINT
+          for i in range(1, greatest(len(tokens) - 7, 1) + 1)] AS fps
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+        FROM corpus)
+), e AS (
+  SELECT doc_id, len(fps) AS n_windows, unnest(fps) AS h FROM w
+), claims AS (
+  SELECT h, min(doc_id) AS claimer FROM e GROUP BY h
+), d AS (
+  SELECT e.doc_id,
+         CAST(max(e.n_windows) AS BIGINT) AS n_windows,
+         CAST(count(CASE WHEN c.claimer < e.doc_id THEN 1 END) AS BIGINT)
+           AS n_dup_windows
+  FROM e JOIN claims c ON e.h = c.h
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_windows, n_dup_windows,
+       CAST(floor(n_dup_windows / CAST(n_windows AS DOUBLE) * 1e4 + 5e-1)
+            / 1e4 AS DOUBLE) AS dup_frac,
+       n_dup_windows * 1e0 / n_windows >= 5e-1 AS mostly_duplicated
+FROM d ORDER BY doc_id
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction from the events.props JSON column."""
     e = _t(spark, sf_dir, "events")
@@ -2375,6 +2447,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "chunk_documents": q_chunk_documents,
     "rolling_fingerprints": q_rolling_fingerprints,
+    "span_dedup": q_span_dedup,
     "repetition_quality": q_repetition_quality,
     "decontaminate": q_decontaminate,
     "domain_quota": q_domain_quota,
@@ -2426,6 +2499,7 @@ ORACLES = {
     "mixture_sample": MIXTURE_SQL,
     "kmv_distinct": KMV_SQL,
     "rolling_fingerprints": ROLLING_FP_SQL,
+    "span_dedup": SPAN_DEDUP_SQL,
     "redact_pii": REDACT_SQL,
     "chunk_documents": CHUNK_SQL,
     "salted_agg": SALTED_AGG_SQL,
