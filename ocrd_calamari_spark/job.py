@@ -46,6 +46,12 @@ def parse_args(argv):
                    choices=["block", "word", "glyph"])
     p.add_argument("--voter", default="confidence_voter_default_ctc")
     p.add_argument("--glyph-conf-cutoff", type=float, default=0.001)
+    p.add_argument("--compact", action="store_true",
+                   help="after a COMPLETE run, rewrite each chunk dir to "
+                        "--compact-files files (small-files remediation; "
+                        "crash-safe atomic swap)")
+    p.add_argument("--compact-files", type=int, default=1,
+                   help="target parquet files per chunk when --compact")
     return p.parse_args(argv)
 
 
@@ -54,7 +60,7 @@ def main(argv=None):
     from pyspark.sql import SparkSession
 
     from ocrd_calamari_spark.config import ExtractConfig
-    from ocrd_calamari_spark.pipeline import run_extraction
+    from ocrd_calamari_spark.pipeline import compact_output, run_extraction
 
     spark = (
         SparkSession.builder.appName("ocrd-calamari-spark-extract")
@@ -82,6 +88,10 @@ def main(argv=None):
         until=args.until,
         bucket_col=args.bucket_col,
     )
+    if args.compact and metrics["complete"]:
+        metrics["compaction"] = compact_output(
+            spark, args.out, target_files_per_chunk=args.compact_files
+        )
     print(json.dumps(metrics))
     spark.stop()
     return 0 if metrics["complete"] else 3
