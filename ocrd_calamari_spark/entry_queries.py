@@ -1101,6 +1101,28 @@ FROM v ORDER BY media_id, frame_no
 """
 
 
+def q_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resample plan: header-derived (sample-rate, n-samples) →
+    output length at 16 kHz, exact integer division both engines."""
+    from ocrd_calamari_spark.functions.multimodal import audio_resample_plan
+
+    out = audio_resample_plan(media_from_documents(spark, sf_dir),
+                              target_rate=16000)
+    return out.orderBy("media_id")
+
+
+RESAMPLE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 640 + 16 AS BIGINT) AS src_rate,
+       CAST(doc_id % 480 + 16 AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS target_rate,
+       CAST((doc_id % 480 + 16) * 16000 // (doc_id % 640 + 16) AS BIGINT)
+         AS n_out_samples
+FROM documents WHERE doc_id % 3 = 1
+ORDER BY media_id
+"""
+
+
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over embeddings ∪ perturbed copies."""
     from ocrd_calamari_spark.functions.simsearch import embedding_near_dupes
@@ -2473,6 +2495,7 @@ QUERIES = {
     "decode_media": q_decode_media,
     "resize_images": q_resize_images,
     "frame_plan": q_frame_plan,
+    "resample_plan": q_resample_plan,
 }
 
 ORACLES = {
@@ -2522,6 +2545,7 @@ ORACLES = {
     "decode_media": DECODE_MEDIA_SQL,
     "resize_images": RESIZE_SQL,
     "frame_plan": FRAME_PLAN_SQL,
+    "resample_plan": RESAMPLE_SQL,
     "asof_join": ASOF_SQL,
     "range_join": RANGE_JOIN_SQL,
     "prepare_corpus": PREPARE_CORPUS_SQL,

@@ -169,6 +169,32 @@ def resize_images(df: DataFrame, max_side: int = 256,
     return df.select("media_id", "kind", "payload").mapInPandas(_fn, RESIZED_SCHEMA)
 
 
+def audio_resample_plan(df: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """Audio resample plan: parse each audio payload's sample-rate
+    (bytes 4..7) and n-samples (bytes 8..11) JVM-side and compute the
+    output length at ``target_rate`` — the planning step before a real
+    resampler (the codec itself is the stubbed plug-point, like
+    decode_media's).  Exact integer math (``div``), so the DuckDB oracle
+    reproduces it bit-for-bit.  Rows with short payloads or a zero rate
+    yield no plan row (nothing to resample)."""
+    src_rate = F.conv(F.hex(F.substring(F.col("payload"), 5, 4)), 16, 10).cast("long")
+    n_samples = F.conv(F.hex(F.substring(F.col("payload"), 9, 4)), 16, 10).cast("long")
+    return (
+        df.where((F.col("kind") == "audio") & (F.octet_length("payload") >= 12))
+        .select(
+            "media_id",
+            src_rate.alias("src_rate"),
+            n_samples.alias("n_samples"),
+            F.lit(int(target_rate)).cast("long").alias("target_rate"),
+        )
+        .where(F.col("src_rate") > 0)
+        .withColumn(
+            "n_out_samples",
+            F.expr(f"n_samples * {int(target_rate)} div src_rate"),
+        )
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plan: expand each video row into frame stubs
     (frame_no, ts_offset_sec) JVM-side; the per-frame decode would attach
