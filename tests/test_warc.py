@@ -60,6 +60,14 @@ class TestWarcRoundTrip:
         got = read_warc(spark, gz)
         assert got.count() == 20
 
+    def test_writer_gzip_mode_round_trips(self, spark, pages_pdf,
+                                          tmp_path_factory):
+        d = tmp_path_factory.mktemp("warcgzw")
+        p = str(d / "x.warc.gz")
+        write_warc(pages_pdf.head(15), p, compress=True)
+        got = read_warc(spark, p)
+        assert got.count() == 15
+
     def test_record_lineage_columns(self, spark, warc_path):
         got = read_warc(spark, warc_path)
         rows = got.select("_src_file", "_src_row").collect()
