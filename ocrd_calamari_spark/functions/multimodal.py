@@ -190,7 +190,7 @@ def audio_resample_plan(df: DataFrame, target_rate: int = 16000) -> DataFrame:
         .where(F.col("src_rate") > 0)
         .withColumn(
             "n_out_samples",
-            F.expr(f"n_samples * {int(target_rate)} div src_rate"),
+            F.expr("n_samples * target_rate div src_rate"),
         )
     )
 

@@ -52,11 +52,14 @@ def parse_args(argv):
                         "crash-safe atomic swap)")
     p.add_argument("--compact-files", type=int, default=1,
                    help="target parquet files per chunk when --compact")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.compact_files < 1:
+        p.error("--compact-files must be >= 1")
+    return args
 
 
 def main(argv=None):
-    args = parse_args(argv or sys.argv[1:])
+    args = parse_args(sys.argv[1:] if argv is None else argv)
     from pyspark.sql import SparkSession
 
     from ocrd_calamari_spark.config import ExtractConfig
