@@ -64,6 +64,56 @@ HEADLINE = [
 ]
 
 
+def _stat_snap() -> list[int]:
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+
+
+def external_busy_fraction(sample_sec: float = 1.0) -> float:
+    """Instantaneous whole-box CPU busy fraction from /proc/stat deltas
+    (ps %CPU is lifetime-average — useless for burst detection)."""
+    a = _stat_snap()
+    time.sleep(sample_sec)
+    b = _stat_snap()
+    d = [y - x for x, y in zip(a, b)]
+    return 1.0 - (d[3] + d[4]) / max(sum(d), 1)
+
+
+def steal_during(fn):
+    """Run ``fn`` and return (result, host-steal fraction while it ran).
+
+    This box is a VM whose HOST steals CPU in bursts (measured 17%+ even
+    on a 'quiet' guest; bursts halve throughput).  Steal is invisible to
+    guest-idle checks — it only accrues while our vCPUs WANT to run — so
+    the honest detector measures /proc/stat's steal column across the
+    timed work itself.
+    """
+    a = _stat_snap()
+    out = fn()
+    b = _stat_snap()
+    d = [y - x for x, y in zip(a, b)]
+    return out, d[7] / max(sum(d), 1)
+
+
+def wait_for_quiet_box(threshold: float = 0.10, max_wait_sec: float = 90.0) -> float:
+    """Block until external CPU load drops below ``threshold`` (or the
+    wait budget runs out) and return the last measured busy fraction.
+
+    The scaling criterion compares two legs; this box has bursty external
+    load (measured 2× throughput swings), and a burst overlapping one leg
+    skews the pair's efficiency either direction.  Gating each pair on an
+    INDEPENDENT load measurement — never on the outcome — keeps the
+    filtering honest.
+    """
+    waited = 0.0
+    busy = external_busy_fraction()
+    while busy > threshold and waited < max_wait_sec:
+        time.sleep(3.0)
+        waited += 4.0
+        busy = external_busy_fraction()
+    return busy
+
+
 def make_session(cores: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cores}]")
@@ -136,7 +186,19 @@ def main():
 
         # ---- phase 2: headline suite at CPUS ----
         warm(spark, corpus_dir, CPUS)
-        ext_sec, n_docs = time_extraction(spark, corpus_dir, CPUS, repartition=True)
+        # headline docs/s: retry under host-CPU steal (see steal_during)
+        ext_sec = n_docs = None
+        ext_steal = 1.0
+        for _ in range(3):
+            wait_for_quiet_box()
+            (sec, n), steal = steal_during(
+                lambda: time_extraction(spark, corpus_dir, CPUS,
+                                        repartition=True)
+            )
+            if ext_sec is None or sec < ext_sec:
+                ext_sec, n_docs, ext_steal = sec, n, steal
+            if steal <= 0.08:
+                break
         results["extract_pages"] = round(ext_sec, 3)
         docs_per_sec = round(n_docs / ext_sec, 1)
         # untimed warm pass at the smallest sf: compiles/JITs every query's
@@ -147,6 +209,7 @@ def main():
                 spark.catalog.clearCache()
                 QUERIES[name](spark, warm_sf).write.format("noop").mode(
                     "overwrite").save()
+        suite_stat0 = _stat_snap()
         for name in HEADLINE:
             fn = QUERIES[name]
             best = None
@@ -157,6 +220,8 @@ def main():
                 sec = time.monotonic() - t0
                 best = sec if best is None else min(best, sec)
             results[name] = round(best, 3)
+        suite_d = [y - x for x, y in zip(suite_stat0, _stat_snap())]
+        suite_steal = suite_d[7] / max(sum(suite_d), 1)
         spark.stop()
 
         # ---- phase 3: N vs 4N scaling on the identical corpus ----
@@ -175,17 +240,37 @@ def main():
                                           str(4 * lo_cores)))
             pairs = []
             n_scale = 0
-            for _ in range(TRIALS):
+            pre_busy = []
+            attempts = 0
+            max_attempts = 2 * TRIALS + 2
+            while len(pairs) < TRIALS and attempts < max_attempts:
+                attempts += 1
+                # gate each pair on an independent quiet-box check —
+                # a GUEST load burst overlapping one leg skews efficiency
+                pre_busy.append(round(wait_for_quiet_box(), 3))
                 pair = {}
+                steal_max = 0.0
                 for cores in (lo_cores, hi_cores):
                     s = make_session(cores)
                     s.sparkContext.setLogLevel("ERROR")
                     warm(s, corpus_dir, cores)
-                    sec, n_scale = time_extraction(s, corpus_dir, cores,
-                                                   repartition=False)
+
+                    def _leg(s=s, cores=cores):
+                        return time_extraction(s, corpus_dir, cores,
+                                               repartition=False)
+
+                    (sec, n_scale), steal = steal_during(_leg)
+                    steal_max = max(steal_max, steal)
                     pair[cores] = n_scale / sec
                     s.stop()
                 pair["eff"] = (pair[hi_cores] / pair[lo_cores]) / (hi_cores / lo_cores)
+                pair["steal"] = round(steal_max, 3)
+                # HOST CPU steal is invisible to the guest until the work
+                # runs; a pair measured under >8% steal is re-run (bounded
+                # attempts, filtered on the steal MEASUREMENT, never on
+                # the efficiency outcome)
+                if steal_max > 0.08 and attempts < max_attempts:
+                    continue
                 pairs.append(pair)
             pairs.sort(key=lambda p: p["eff"])
             med = pairs[len(pairs) // 2]
@@ -206,6 +291,9 @@ def main():
                 "trials": TRIALS,
                 "efficiency": round(med["eff"], 3),
                 "efficiency_all_trials": [round(p["eff"], 3) for p in pairs],
+                "pair_host_steal": [p["steal"] for p in pairs],
+                "pre_pair_external_busy": pre_busy,
+                "pair_attempts": attempts,
             }
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
@@ -216,7 +304,9 @@ def main():
         "unit": "sec",
         "queries": results,
         "sf": sf,
-        "extraction": {"docs": n_docs, "docs_per_sec": docs_per_sec},
+        "extraction": {"docs": n_docs, "docs_per_sec": docs_per_sec,
+                       "host_steal": round(ext_steal, 3)},
+        "suite_host_steal": round(suite_steal, 3),
     }
     if scaling:
         out["scaling"] = scaling
