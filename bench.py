@@ -209,19 +209,32 @@ def main():
                 spark.catalog.clearCache()
                 QUERIES[name](spark, warm_sf).write.format("noop").mode(
                     "overwrite").save()
-        suite_stat0 = _stat_snap()
-        for name in HEADLINE:
-            fn = QUERIES[name]
-            best = None
-            for _ in range(QUERY_TRIALS):
-                spark.catalog.clearCache()  # dedup persists must not carry
-                t0 = time.monotonic()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                sec = time.monotonic() - t0
-                best = sec if best is None else min(best, sec)
-            results[name] = round(best, 3)
-        suite_d = [y - x for x, y in zip(suite_stat0, _stat_snap())]
-        suite_steal = suite_d[7] / max(sum(suite_d), 1)
+        def run_suite() -> tuple[dict, float]:
+            out = {}
+            stat0 = _stat_snap()
+            for name in HEADLINE:
+                fn = QUERIES[name]
+                best = None
+                for _ in range(QUERY_TRIALS):
+                    spark.catalog.clearCache()  # dedup persists must not carry
+                    t0 = time.monotonic()
+                    fn(spark, SF_DIR).write.format("noop").mode(
+                        "overwrite").save()
+                    sec = time.monotonic() - t0
+                    best = sec if best is None else min(best, sec)
+                out[name] = round(best, 3)
+            d = [y - x for x, y in zip(stat0, _stat_snap())]
+            return out, d[7] / max(sum(d), 1)
+
+        suite, suite_steal = run_suite()
+        if suite_steal > 0.08:
+            # the whole loop ran under a host-steal burst: one retry,
+            # keep per-query minimums (steal only ever inflates timings)
+            wait_for_quiet_box()
+            suite2, steal2 = run_suite()
+            suite = {k: min(suite[k], suite2[k]) for k in suite}
+            suite_steal = min(suite_steal, steal2)
+        results.update(suite)
         spark.stop()
 
         # ---- phase 3: N vs 4N scaling on the identical corpus ----
