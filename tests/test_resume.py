@@ -164,6 +164,32 @@ class TestBucketColResume:
                            bucket_col="bucket")
 
 
+class TestSchemaEvolution:
+    def test_extra_source_columns_are_tolerated(self, spark, pages_pdf,
+                                                tmp_path_factory):
+        """A 100 TB table GROWS columns over its lifetime (new crawl
+        metadata, quality scores...).  The engine projects exactly its
+        kernel inputs, so a source with extra columns must run
+        unchanged — a SELECT * anywhere in the read path would break
+        here."""
+        import pandas as pd
+
+        wide = pages_pdf.copy()
+        wide["crawl_batch"] = 7
+        wide["quality_hint"] = 0.5
+        d = tmp_path_factory.mktemp("wide")
+        src = str(d / "pages_wide.parquet")
+        from ocrd_calamari_spark.gen import write_pages_parquet
+
+        # write_pages_parquet enforces the narrow schema — write directly
+        wide.to_parquet(src, coerce_timestamps="us")
+        out = str(d / "out")
+        m = run_extraction(spark, src, out, n_buckets=8, n_chunks=2)
+        assert m["complete"]
+        res = read_output(spark, out)
+        assert res.count() == res.select("url").distinct().count() == len(wide)
+
+
 class TestManifestGuards:
     def test_n_buckets_mismatch_fails_fast(self, spark, pages_parquet,
                                            tmp_path_factory):
