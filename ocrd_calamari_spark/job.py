@@ -52,6 +52,10 @@ def parse_args(argv):
                         "crash-safe atomic swap)")
     p.add_argument("--compact-files", type=int, default=1,
                    help="target parquet files per chunk when --compact")
+    p.add_argument("--validate", action="store_true",
+                   help="after the run (and compaction, if any), audit "
+                        "on-disk rows against the manifest; non-zero exit "
+                        "on mismatch")
     args = p.parse_args(argv)
     if args.compact_files < 1:
         p.error("--compact-files must be >= 1")
@@ -63,7 +67,9 @@ def main(argv=None):
     from pyspark.sql import SparkSession
 
     from ocrd_calamari_spark.config import ExtractConfig
-    from ocrd_calamari_spark.pipeline import compact_output, run_extraction
+    from ocrd_calamari_spark.pipeline import (
+        compact_output, run_extraction, validate_output,
+    )
 
     spark = (
         SparkSession.builder.appName("ocrd-calamari-spark-extract")
@@ -95,9 +101,15 @@ def main(argv=None):
         metrics["compaction"] = compact_output(
             spark, args.out, target_files_per_chunk=args.compact_files
         )
+    audit_ok = True
+    if args.validate:
+        metrics["validation"] = validate_output(spark, args.out)
+        audit_ok = metrics["validation"]["ok"]
     print(json.dumps(metrics))
     spark.stop()
-    return 0 if metrics["complete"] else 3
+    if not metrics["complete"]:
+        return 3
+    return 0 if audit_ok else 4
 
 
 if __name__ == "__main__":

@@ -164,6 +164,35 @@ class TestBucketColResume:
                            bucket_col="bucket")
 
 
+class TestValidateOutput:
+    def test_detects_loss_and_passes_clean(self, spark, pages_parquet,
+                                           tmp_path_factory):
+        import glob
+        import os
+
+        from ocrd_calamari_spark.pipeline import validate_output
+
+        d = str(tmp_path_factory.mktemp("val"))
+        m = run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=2)
+        assert m["complete"]
+        rep = validate_output(spark, d)
+        assert rep["ok"] and rep["rows"] == m["rows_total"]
+        # tamper: drop one parquet file from a chunk → mismatch flagged
+        victim = sorted(glob.glob(os.path.join(d, "data", "chunk=0",
+                                               "*.parquet")))[0]
+        os.remove(victim)
+        rep2 = validate_output(spark, d)
+        assert not rep2["ok"] and 0 in rep2["mismatches"]
+        man, actual = rep2["mismatches"][0]
+        assert actual < man
+        # tamper harder: remove a whole chunk dir → reported missing
+        import shutil
+
+        shutil.rmtree(os.path.join(d, "data", "chunk=1"))
+        rep3 = validate_output(spark, d)
+        assert 1 in rep3["missing"]
+
+
 class TestSchemaEvolution:
     def test_extra_source_columns_are_tolerated(self, spark, pages_pdf,
                                                 tmp_path_factory):
