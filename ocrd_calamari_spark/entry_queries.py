@@ -1532,11 +1532,16 @@ FROM e ORDER BY url, link_no
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the extracted link graph (pages → their hrefs,
-    resolved against the page host): 10 fixed power iterations of pure
-    DataFrame algebra with dangling-mass redistribution.  Iterative →
-    not single-query SQL; rows-only for the driver, with a numpy
-    power-iteration parity test in tests/test_functions.py."""
+    """PageRank over the SYMMETRIZED link graph (pages ↔ their href
+    targets, resolved against the page host): 10 fixed power iterations
+    of driver-looped DataFrame algebra.  Symmetrizing closes the graph
+    (every node has out-edges), which makes the whole iteration
+    DuckDB-expressible as a recursive CTE with an aggregate in the
+    recursive term — an EXACT oracle for an iterative algorithm (the
+    directed/dangling variant stays covered by the numpy parity test).
+    Ranks are floor-quantized at 1e-6: per-node contribution sums are
+    ~12 doubles, so cross-engine summation-order noise (~1e-14) sits 8
+    orders below the grid."""
     from ocrd_calamari_spark.functions.graph import pagerank
 
     links = q_extract_links(spark, sf_dir)
@@ -1545,20 +1550,57 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split(F.element_at(F.split("url", "://", 2), 2),
                              "/", 2), 1),
     )
-    edges = links.select(
+    fwd = links.select(
         F.col("url").alias("src"),
         F.concat(host, F.col("href")).alias("dst"),
     )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     out = pagerank(edges, damping=0.85, iters=10)
-    # 1e-7 quantization is DISPLAY smoothing, not a determinism guarantee:
-    # distributed float sums are order-dependent at ~1e-16 relative, so a
-    # rank landing within an ulp of a grid boundary could floor either way
-    # across runs (probability ~1e-10/value) — acceptable for a rows-only
-    # query; the numpy parity test asserts allclose, not bitwise.
     return out.select(
         "node",
-        F.expr("cast(floor(rank * 1e7 + 5e-1) / 1e7 as double)").alias("rank"),
+        F.expr("cast(floor(rank * 1e6 + 5e-1) / 1e6 as double)").alias("rank"),
     ).orderBy(F.desc("rank"), "node")
+
+
+def _pagerank_sql() -> str:
+    head = _PAGE_HEAD.replace("'", "''")
+    foot = _PAGE_FOOT.replace("'", "''")
+    return f"""
+WITH RECURSIVE pages AS (
+  SELECT 'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+         || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+         'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+         || '.example' AS host,
+         '{head}' || '<article><h1>Document ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text || '</p></article>' || '{foot}' AS html
+  FROM documents
+), fwd AS (
+  SELECT url AS src, host || unnest(
+           regexp_extract_all(html, 'href="([^"]*)"', 1)) AS dst
+  FROM pages
+), edges AS (
+  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+), nodes AS (
+  SELECT DISTINCT src AS v FROM edges
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), pr(iter, v, r) AS (
+  SELECT 0, v, 1e0 / (SELECT n FROM nn) FROM nodes
+  UNION ALL
+  SELECT pr.iter + 1, e.dst,
+         (1e0 - 85e-2) / (SELECT n FROM nn) + 85e-2 * SUM(pr.r / deg.d)
+  FROM pr JOIN edges e ON e.src = pr.v JOIN deg ON deg.src = e.src
+  WHERE pr.iter < 10
+  GROUP BY pr.iter, e.dst
+)
+SELECT v AS node,
+       CAST(floor(r * 1e6 + 5e-1) / 1e6 AS DOUBLE) AS rank
+FROM pr WHERE iter = 10 ORDER BY rank DESC, node
+"""
 
 
 def q_prepare_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2569,5 +2611,6 @@ ORACLES = {
     "pack_sequences": _pack_sequences_sql(),
     "canonical_urls": CANONICAL_URL_SQL,
     "extract_links": _extract_links_sql(),
+    "pagerank_links": _pagerank_sql(),
     "prepare_corpus_neardup": _prepare_corpus_neardup_sql(),
 }
