@@ -2040,6 +2040,79 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the Gopher/PaLM training-mix
+    shape): per-source sampling weights ∝ n_docs^(1/T), here T=2 so the
+    reweighting is sqrt — IEEE-correctly-rounded in BOTH engines, unlike
+    general pow whose last ulp differs across libms.  Each source's quota
+    of the 200-doc budget is filled by the smallest portable-hash ranks
+    (deterministic "random" sample; resume/retries reproduce it).  Small
+    sources upweight, big sources downweight — the mixture flattening
+    every multi-corpus training run applies."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum(F.sqrt("n_docs")).alias("z"))
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs",
+        F.floor(F.sqrt("n_docs") / F.col("z") * F.lit(200.0))
+        .cast("bigint").alias("quota"),
+    )
+    h = F.expr(
+        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.select("source", "doc_id").withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    kept = ranked.join(F.broadcast(quotas), "source").where(
+        F.col("_rk") <= F.col("quota")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .join(quotas, "source")
+        .select("source", "n_docs", "quota", "n_kept", "min_doc", "max_doc")
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), z AS (
+  SELECT SUM(sqrt(n_docs)) AS z FROM counts
+), quotas AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs) / (SELECT z FROM z) * 2e2) AS BIGINT)
+           AS quota
+  FROM counts
+), ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rk
+  FROM documents
+), kept AS (
+  SELECT r.source, r.doc_id
+  FROM ranked r JOIN quotas q ON r.source = q.source
+  WHERE r.rk <= q.quota
+)
+SELECT q.source, q.n_docs, q.quota,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+       MIN(k.doc_id) AS min_doc, MAX(k.doc_id) AS max_doc
+FROM quotas q JOIN kept k ON q.source = k.source
+GROUP BY q.source, q.n_docs, q.quota
+ORDER BY q.source
+"""
+
+
 def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE lattice over (lang, source) — all 2^k grouping sets in one
     pass (vs ROLLUP's prefix sets; completes the multi-level-agg family)."""
@@ -2507,6 +2580,7 @@ QUERIES = {
     "gap_fill_hourly": q_gap_fill_hourly,
     "topk_tokens": q_topk_tokens,
     "mixture_sample": q_mixture_sample,
+    "temperature_mix": q_temperature_mix,
     "salted_agg": q_salted_agg,
     "percentile_grouped": q_percentile_grouped,
     "set_except": q_set_except,
@@ -2575,6 +2649,7 @@ ORACLES = {
     "gap_fill_hourly": GAP_FILL_SQL,
     "topk_tokens": TOPK_TOKENS_SQL,
     "mixture_sample": MIXTURE_SQL,
+    "temperature_mix": TEMPERATURE_MIX_SQL,
     "kmv_distinct": KMV_SQL,
     "rolling_fingerprints": ROLLING_FP_SQL,
     "span_dedup": SPAN_DEDUP_SQL,
