@@ -2040,6 +2040,73 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by TF×(N/DF) — the
+    log-free TF-IDF variant, because mul/div are IEEE-exact cross-engine
+    while ln/log2 differ in the last ulp across libms.  Shuffle shape at
+    10^12 rows: (doc, token, tf) pairs to the DF aggregation and one
+    broadcast of the (small) vocabulary DF table back; the per-doc top-k
+    is a window over doc_id."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = (
+        tf.groupBy("token").agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(F.broadcast(df_tbl), "token").select(
+        "doc_id", "token", "tf", "df",
+        (F.col("tf").cast("double")
+         * (F.lit(float(n_docs)) / F.col("df").cast("double")))
+        .alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id", "rank", "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.expr("cast(floor(score * 1e6 + 5e-1) / 1e6 as double)")
+            .alias("score"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), dft AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+         CAST(tf.tf AS DOUBLE)
+           * (CAST((SELECT n FROM n) AS DOUBLE) / CAST(dft.df AS DOUBLE))
+           AS score
+  FROM tf JOIN dft ON tf.token = dft.token
+), ranked AS (
+  SELECT doc_id, token, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(floor(score * 1e6 + 5e-1) / 1e6 AS DOUBLE) AS score
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture sampling (the Gopher/PaLM training-mix
     shape): per-source sampling weights ∝ n_docs^(1/T), here T=2 so the
@@ -2581,6 +2648,7 @@ QUERIES = {
     "topk_tokens": q_topk_tokens,
     "mixture_sample": q_mixture_sample,
     "temperature_mix": q_temperature_mix,
+    "tfidf_keywords": q_tfidf_keywords,
     "salted_agg": q_salted_agg,
     "percentile_grouped": q_percentile_grouped,
     "set_except": q_set_except,
@@ -2650,6 +2718,7 @@ ORACLES = {
     "topk_tokens": TOPK_TOKENS_SQL,
     "mixture_sample": MIXTURE_SQL,
     "temperature_mix": TEMPERATURE_MIX_SQL,
+    "tfidf_keywords": TFIDF_SQL,
     "kmv_distinct": KMV_SQL,
     "rolling_fingerprints": ROLLING_FP_SQL,
     "span_dedup": SPAN_DEDUP_SQL,
