@@ -59,6 +59,8 @@ HEADLINE = [
     "repetition_quality",
     "decontaminate",
     "pack_sequences",
+    "span_dedup",
+    "tfidf_keywords",
     "minhash_dedup",
     "simhash_dedup",
 ]
