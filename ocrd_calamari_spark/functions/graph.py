@@ -50,6 +50,9 @@ def pagerank(
         .persist()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty graph: empty result, schema intact
+        nodes.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     ed = e.join(deg, "src").persist()
     ed.count()  # materialize once; every iteration re-reads it

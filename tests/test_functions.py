@@ -551,6 +551,15 @@ class TestPageRank:
             assert np.isclose(got[u], r[u], atol=1e-12), (u, got[u], r[u])
         assert np.isclose(sum(got.values()), 1.0, atol=1e-9)
 
+    def test_empty_graph_yields_empty_result(self, spark):
+        from ocrd_calamari_spark.functions.dedup import connected_components
+        from ocrd_calamari_spark.functions.graph import pagerank
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert pagerank(empty).collect() == []
+        empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(empty_pairs).collect() == []
+
 
 class TestConnectedComponents:
     def test_path_triangle_and_pair(self, spark):
