@@ -653,6 +653,45 @@ FROM reach GROUP BY v ORDER BY component, doc_id
 """
 
 
+def q_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join (no LSH approximation): the
+    inverted-index form where groupBy(pair).count() IS the intersection
+    size.  Bigram shingles at threshold 0.5 to exercise a different
+    operating point than minhash_dedup (trigrams @ 0.7).  jaccard is one
+    int/int division — bit-identical across engines, no quantization."""
+    from ocrd_calamari_spark.functions.dedup import jaccard_index_dedup
+
+    corpus = _with_injected_dups(spark, sf_dir)
+    out = jaccard_index_dedup(corpus, threshold=0.5, shingle_k=2)
+    return out.orderBy("id_a", "id_b")
+
+
+JACCARD_DEDUP_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+  FROM documents WHERE doc_id < 40
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tokens[i:i+1], ' ')
+                        for i in range(1, greatest(len(tokens)-1, 1)+1)]) AS s
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM corpus)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT)
+           AS union_n
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, inter, union_n, inter * 1e0 / union_n AS jaccard
+FROM pairs WHERE inter * 1e0 / union_n >= 5e-1
+ORDER BY id_a, id_b
+"""
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with the cross-engine md5 token hash so DuckDB
     reproduces the signatures bit-for-bit; pigeonhole chunk blocking has
@@ -2678,6 +2717,7 @@ QUERIES = {
     "prepare_corpus_neardup": q_prepare_corpus_neardup,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
+    "jaccard_dedup": q_jaccard_dedup,
     "dedup_clusters": q_dedup_clusters,
     "simhash_dedup": q_simhash_dedup,
     "exact_dup_groups": q_exact_dup_groups,
@@ -2738,6 +2778,7 @@ ORACLES = {
     "cosine_topk_pandas": COSINE_TOPK_SQL,
     "bpe_token_count": BPE_TOKEN_SQL,
     "minhash_dedup": MINHASH_SQL,
+    "jaccard_dedup": JACCARD_DEDUP_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "simhash_dedup": SIMHASH_SQL,
     "embedding_near_dupes": EMB_NEAR_DUP_SQL,

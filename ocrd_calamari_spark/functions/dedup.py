@@ -253,6 +253,77 @@ def minhash_dedup(
                                threshold)
 
 
+def jaccard_index_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via an inverted index — the
+    non-approximate member of the dedup family (vs minhash/simhash).
+
+    Algorithm: explode each document's distinct hashed k-shingles into a
+    posting table (shingle, id); self-join postings on the shingle so every
+    shared shingle yields one pair row; ``groupBy(id_a, id_b).count()`` IS
+    the intersection size — no array re-intersection, no second corpus
+    scan.  Join per-doc set sizes and compute
+    ``jaccard = inter / (n_a + n_b - inter)`` (one integer division,
+    IEEE-exact, bit-identical across engines).
+
+    Scale design: work is Σ_g C(df_g, 2) pair rows — proportional to how
+    often shingles are SHARED, never all-pairs.  The shuffles move only
+    (i64 shingle hash, id) and (id_a, id_b) tuples, 16 B rows.  The known
+    killer is stop-shingles (boilerplate n-grams with huge df contribute
+    df² pairs): ``max_df`` drops shingles whose document frequency exceeds
+    the cap from BOTH intersection and union (sizes are recomputed from the
+    filtered postings), so the result stays a true Jaccard over the reduced
+    shingle space — the standard PPJoin-family df-pruning trade: exact for
+    rare-shingle similarity, blind to similarity carried only by
+    ubiquitous n-grams.  Default ``None`` = fully exact.
+    """
+    postings = (
+        shingle_table(df, id_col, text_col, shingle_k)
+        .select(F.col(id_col), F.explode("sh").alias("g"))
+    )
+    if max_df is not None:
+        # blocklist of stop-shingles is tiny by construction → AQE
+        # broadcasts the anti-join
+        stop = (
+            postings.groupBy("g").count()
+            .where(F.col("count") > max_df).select("g")
+        )
+        postings = postings.join(stop, "g", "left_anti")
+    postings = postings.persist()
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = postings.select(F.col(id_col).alias("id_a"), "g")
+    b = postings.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"),
+                           F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("union_n"),
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+             ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: connected components over the pair graph — the step
 # after pair generation that production dedup actually needs (keep ONE

@@ -52,6 +52,51 @@ class TestDedup:
         # unrelated docs never pair
         assert not any(5 in p for p in found)
 
+    def test_jaccard_index_exact_values(self, docs):
+        from ocrd_calamari_spark.functions.dedup import jaccard_index_dedup
+
+        got = {
+            (p.id_a, p.id_b): (p.inter, p.union_n, p.jaccard)
+            for p in jaccard_index_dedup(
+                docs, threshold=0.3, shingle_k=2
+            ).collect()
+        }
+        # python ground truth over distinct bigram sets
+        rows = {r.doc_id: r.text for r in docs.collect()}
+        def bigrams(t):
+            toks = t.strip().lower().split()
+            return {" ".join(toks[i:i + 2]) for i in range(max(len(toks) - 1, 1))}
+        expect = {}
+        ids = sorted(rows)
+        for i in ids:
+            for j in ids:
+                if i >= j:
+                    continue
+                a, b = bigrams(rows[i]), bigrams(rows[j])
+                inter, uni = len(a & b), len(a | b)
+                if inter / uni >= 0.3:
+                    expect[(i, j)] = (inter, uni, inter / uni)
+        assert got == expect
+        assert (0, 1) in got and got[(0, 1)][2] == 1.0  # exact dup
+
+    def test_jaccard_index_max_df_drops_stop_shingles(self, spark):
+        from ocrd_calamari_spark.functions.dedup import jaccard_index_dedup
+
+        # every doc shares the boilerplate bigram chain; only 0/1 share rare
+        # content.  With the cap, boilerplate-only pairs vanish but the true
+        # pair survives on its rare shingles.
+        rows = [(i, f"copyright footer terms unique{i} token{i}") for i in range(6)]
+        rows += [(10, "copyright footer terms rare gem alpha"),
+                 (11, "copyright footer terms rare gem alpha")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        capped = jaccard_index_dedup(df, threshold=0.5, shingle_k=2, max_df=4)
+        got = {(p.id_a, p.id_b) for p in capped.collect()}
+        assert got == {(10, 11)}
+        # uncapped: the boilerplate prefix alone can't reach 0.5 for the
+        # unique{i} docs, but 10/11 still match exactly
+        full = jaccard_index_dedup(df, threshold=0.99, shingle_k=2)
+        assert {(p.id_a, p.id_b) for p in full.collect()} == {(10, 11)}
+
     def test_simhash_deterministic_and_discriminative(self, spark, docs):
         sigs = {r.doc_id: r.sig for r in
                 docs.select("doc_id", simhash("text").alias("sig")).collect()}
