@@ -2654,6 +2654,80 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text inverted index: token → (df, sorted posting CSV).  One
+    explode + one groupBy(token) shuffle; postings as CSV strings because
+    the driver canonicalizer can't hash arrays."""
+    from ocrd_calamari_spark.functions.text import inverted_index
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_index(d).orderBy("token")
+
+
+INVERTED_INDEX_SQL = r"""
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM (SELECT doc_id,
+             unnest(list_distinct(
+               string_split_regex(trim(lower(text)), '\s+'))) AS token
+      FROM documents)
+GROUP BY token ORDER BY token
+"""
+
+
+_BM25_TERMS = ["join", "filter", "dup"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term query, rational (log-free) IDF so
+    every arithmetic step is IEEE-exact in both engines; per-term scores
+    pivoted and summed in fixed expression order (float groupBy-sum order
+    is partition-dependent)."""
+    from ocrd_calamari_spark.functions.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bm25_scores(d, _BM25_TERMS)
+    return (
+        out.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "score")
+    )
+
+
+BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE token IN ('join', 'filter', 'dup') GROUP BY doc_id, token
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), dft AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks
+  WHERE token IN ('join', 'filter', 'dup') GROUP BY token
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) * 1e0 / count(*) AS avgdl
+  FROM dl
+), scored AS (
+  SELECT t.doc_id, t.token,
+         ((tot.n_docs - d.df + 5e-1) / (d.df + 5e-1))
+         * (t.tf * 22e-1
+            / (t.tf + 12e-1 * (25e-2 + 75e-2 * l.dl / tot.avgdl))) AS s
+  FROM tf t JOIN dl l USING (doc_id) JOIN dft d USING (token), tot
+), agg AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN token = 'join' THEN s END), 0e0)
+         + coalesce(max(CASE WHEN token = 'filter' THEN s END), 0e0)
+         + coalesce(max(CASE WHEN token = 'dup' THEN s END), 0e0) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2685,6 +2759,8 @@ QUERIES = {
     "cube_counts": q_cube_counts,
     "gap_fill_hourly": q_gap_fill_hourly,
     "topk_tokens": q_topk_tokens,
+    "inverted_index": q_inverted_index,
+    "bm25_search": q_bm25_search,
     "mixture_sample": q_mixture_sample,
     "temperature_mix": q_temperature_mix,
     "tfidf_keywords": q_tfidf_keywords,
@@ -2756,6 +2832,8 @@ ORACLES = {
     "cube_counts": CUBE_SQL,
     "gap_fill_hourly": GAP_FILL_SQL,
     "topk_tokens": TOPK_TOKENS_SQL,
+    "inverted_index": INVERTED_INDEX_SQL,
+    "bm25_search": BM25_SQL,
     "mixture_sample": MIXTURE_SQL,
     "temperature_mix": TEMPERATURE_MIX_SQL,
     "tfidf_keywords": TFIDF_SQL,

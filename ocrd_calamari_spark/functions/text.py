@@ -276,3 +276,123 @@ def rolling_fingerprints(col, window: int = 8,
         f"transform(sequence(1, greatest(size({toks}) - {window} + 1, 1)), "
         f"i -> {token_hash.format(t=shingle)})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranked retrieval: inverted index + BM25-style scoring.
+# ---------------------------------------------------------------------------
+def _tokens(df, id_col: str, text_col: str):
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "token"
+        ),
+    )
+
+
+def inverted_index(df, id_col: str = "doc_id",
+                   text_col: str = "text") -> "DataFrame":
+    """token -> (document frequency, sorted posting list as CSV).
+
+    Postings are CSV strings (not arrays) so downstream hashing/compare
+    layers that can't canonicalize arrays work unchanged.  Scale shape:
+    one explode + one groupBy(token) shuffle of (token, id) pairs;
+    map-side partial aggregation folds duplicates before the exchange.
+    For web-corpus vocabularies the value side (collect_list) is bounded
+    by document frequency — production indexes shard hot tokens, which
+    composes with this plan as a salt-then-merge second pass.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(id_col))
+            ).alias("postings"),
+        )
+    )
+
+
+def bm25_scores(
+    df,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """BM25 ranked retrieval with a RATIONAL (log-free) IDF:
+    ``idf_r = (N - df + 0.5) / (df + 0.5)`` — the exponential of the
+    classic Robertson log-IDF.  Log-free because every operation here
+    (add/mul/div) is IEEE-correctly-rounded and therefore bit-identical
+    across engines, while transcendentals differ per libm (the same
+    trade the TF-IDF operator documents); idf_r is a monotone transform
+    of the standard idf, so single-term rankings agree exactly and
+    multi-term rankings agree wherever term contributions don't
+    criss-cross.
+
+    Determinism: the per-term scores are pivoted to fixed columns and
+    summed in ONE expression (s1 + s2 + ...), never float-summed through
+    a groupBy whose accumulation order is partition-dependent.
+
+    Scale shape: tf/dl/df are three partial-agg shuffles over (id, token)
+    pairs pre-filtered to the query terms where possible; the corpus
+    totals row is a broadcast cross-join.  Nothing quadratic, no Python.
+    """
+    toks = _tokens(df, id_col, text_col)
+    hits = toks.where(F.col("token").isin(list(terms)))
+    tf = hits.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dft = (
+        hits.select(id_col, "token").distinct()
+        .groupBy("token").agg(F.count("*").alias("df"))
+    )
+    tot = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("bigint") * F.lit(1.0) / F.count("*")).alias(
+            "avgdl"
+        ),
+    )
+    per = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "s",
+            (
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (
+                F.col("tf") * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ),
+        )
+    )
+    parts = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"_s{i}")
+        for i, t in enumerate(terms)
+    ]
+    agg = per.groupBy(id_col).agg(*parts)
+    score = agg.columns[1:]
+    expr = F.col(score[0])
+    for c in score[1:]:
+        expr = expr + F.col(c)
+    return agg.select(F.col(id_col), expr.alias("score"))

@@ -155,6 +155,53 @@ class TestTextAnalysis:
         assert 0.0 < r.q <= 1.5
 
 
+class TestRankedRetrieval:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "spark join shuffle join join"),        # tf(join)=3, dl=5
+            (1, "spark join shuffle scan filter scan"),  # tf(join)=1, dl=6
+            (2, "rare gem appears here once"),           # no query terms
+            (3, "join"),                                 # tf=1, shortest doc
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_inverted_index_postings(self, corpus):
+        from ocrd_calamari_spark.functions.text import inverted_index
+
+        idx = {r.token: (r.df, r.postings)
+               for r in inverted_index(corpus).collect()}
+        assert idx["join"] == (3, "0,1,3")
+        assert idx["spark"] == (2, "0,1")
+        assert idx["rare"] == (1, "2")
+
+    def test_bm25_ranking_and_exact_values(self, corpus):
+        from ocrd_calamari_spark.functions.text import bm25_scores
+
+        got = {r.doc_id: r.score
+               for r in bm25_scores(corpus, ["join", "filter"]).collect()}
+        assert set(got) == {0, 1, 3}  # doc 2 has no query term
+        # python ground truth, same rational idf / tf normalization
+        def bm25(tfs, dl, n, dfs, avgdl, k1=1.2, b=0.75):
+            s = 0.0
+            for t, tf in tfs.items():
+                idf = (n - dfs[t] + 0.5) / (dfs[t] + 0.5)
+                s += idf * (tf * (k1 + 1.0)
+                            / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            return s
+        n, avgdl = 4, (5 + 6 + 5 + 1) / 4
+        dfs = {"join": 3, "filter": 1}
+        assert got[0] == pytest.approx(
+            bm25({"join": 3}, 5, n, dfs, avgdl), abs=1e-12)
+        assert got[1] == pytest.approx(
+            bm25({"join": 1, "filter": 1}, 6, n, dfs, avgdl), abs=1e-12)
+        assert got[3] == pytest.approx(
+            bm25({"join": 1}, 1, n, dfs, avgdl), abs=1e-12)
+        # tf saturation + rare-term boost: doc1's rare 'filter' hit outranks
+        # doc0's repeated common 'join'
+        assert got[1] > got[0]
+
+
 class TestMultimodal:
     def test_decode_fake_backend(self, spark):
         rows = [
