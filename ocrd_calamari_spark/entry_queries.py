@@ -2728,6 +2728,64 @@ SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column data-quality profile of the events table."""
+    from ocrd_calamari_spark.functions.profile import profile_columns
+
+    e = _t(spark, sf_dir, "events")
+    return profile_columns(
+        e, ["event_id", "event_type", "props", "user_id", "value"]
+    ).orderBy("column_name")
+
+
+PROFILE_SQL = """
+SELECT 'event_id' AS column_name,
+       CAST(count(*) FILTER (event_id IS NULL) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) FILTER (event_type IS NULL) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+UNION ALL
+SELECT 'props', CAST(count(*) FILTER (props IS NULL) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT) FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) FILTER (user_id IS NULL) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) FILTER (value IS NULL) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT) FROM events
+ORDER BY column_name
+"""
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 split by portable id hash: membership is a pure
+    function of doc_id — stable under reruns, cluster size, and corpus
+    growth (new docs never reshuffle old assignments)."""
+    from ocrd_calamari_spark.functions.dedup import PORTABLE_TOKEN_HASH_SQL
+    from ocrd_calamari_spark.functions.profile import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    tmpl = (
+        "pmod(" + PORTABLE_TOKEN_HASH_SQL.format(t="cast({t} as string)")
+        + ", 100)"
+    )
+    return hash_split(d, "doc_id", hash_sql=tmpl).orderBy("doc_id")
+
+
+SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN h < 98 THEN 'train'
+            WHEN h < 99 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS h
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2761,6 +2819,8 @@ QUERIES = {
     "topk_tokens": q_topk_tokens,
     "inverted_index": q_inverted_index,
     "bm25_search": q_bm25_search,
+    "profile_columns": q_profile_columns,
+    "train_test_split": q_train_test_split,
     "mixture_sample": q_mixture_sample,
     "temperature_mix": q_temperature_mix,
     "tfidf_keywords": q_tfidf_keywords,
@@ -2834,6 +2894,8 @@ ORACLES = {
     "topk_tokens": TOPK_TOKENS_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
     "bm25_search": BM25_SQL,
+    "profile_columns": PROFILE_SQL,
+    "train_test_split": SPLIT_SQL,
     "mixture_sample": MIXTURE_SQL,
     "temperature_mix": TEMPERATURE_MIX_SQL,
     "tfidf_keywords": TFIDF_SQL,

@@ -1,0 +1,74 @@
+"""Dataset profiling and deterministic splitting — the audit/quality ops a
+training-data pipeline runs before and after every transformation.
+
+All JVM-side; no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], exact: bool = True
+) -> DataFrame:
+    """Per-column data-quality profile: (column_name, n_nulls, n_distinct).
+
+    One single-pass aggregate over the table, then a ``stack`` unpivot of
+    the 1-row result — the scan happens once no matter how many columns
+    are profiled.
+
+    Scale note: ``exact=True`` uses ``count(distinct)``; multiple distinct
+    aggregates make Catalyst EXPAND the input (one replica per distinct
+    column), so at 100 TB profile with ``exact=False`` —
+    ``approx_count_distinct`` (HyperLogLog++) keeps the pass single-replica
+    and the per-column state a few KB.  Exact is the oracle-checkable
+    default for audit-scale tables.
+    """
+    distinct = F.countDistinct if exact else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("bigint")), F.lit(0)
+            ).cast("bigint").alias(f"{c}__n")
+        )
+        aggs.append(distinct(F.col(c)).cast("bigint").alias(f"{c}__d"))
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', `{c}__n`, `{c}__d`" for c in cols)
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack}) as (column_name, n_nulls, n_distinct)"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    hash_sql: str | None = None,
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by id hash.
+
+    ``weights`` maps split name → integer percent (must sum to 100); a
+    document's split is decided by ``hash(id) % 100`` against cumulative
+    thresholds, so membership is a pure function of the id: stable across
+    runs, cluster sizes, row order, and incremental corpus growth (new
+    docs don't reshuffle old ones — the property random-split lacks).
+
+    ``hash_sql``: SQL template with ``{t}`` = the id-as-string expression;
+    default xxhash64 (fast); pass the portable md5 template when an
+    external system must reproduce the assignment.
+    """
+    weights = weights or {"train": 98, "valid": 1, "test": 1}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100: {weights}")
+    # pmod, not abs(...) % — ANSI abs(Long.MIN_VALUE) overflows
+    hash_sql = hash_sql or "pmod(xxhash64(cast({t} as string)), 100)"
+    h = F.expr(hash_sql.format(t=id_col))
+    expr = None
+    acc = 0
+    for name, pct in weights.items():
+        acc += pct
+        cond = h < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

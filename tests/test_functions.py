@@ -202,6 +202,58 @@ class TestRankedRetrieval:
         assert got[1] > got[0]
 
 
+class TestProfileAndSplit:
+    def test_profile_counts_nulls_and_distincts(self, spark):
+        from ocrd_calamari_spark.functions.profile import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", None), (3, None, None), (3, "b", 2.0)],
+            "id long, s string, v double",
+        )
+        got = {r.column_name: (r.n_nulls, r.n_distinct)
+               for r in profile_columns(df, ["id", "s", "v"]).collect()}
+        assert got == {"id": (0, 3), "s": (1, 2), "v": (2, 2)}
+        # approx path: same shape, HLL estimates exact at this cardinality
+        approx = {r.column_name: r.n_distinct
+                  for r in profile_columns(df, ["id", "s"],
+                                           exact=False).collect()}
+        assert approx == {"id": 3, "s": 2}
+
+    def test_profile_empty_table_is_zero_not_null(self, spark):
+        from ocrd_calamari_spark.functions.profile import profile_columns
+
+        df = spark.createDataFrame([], "id long, s string")
+        got = {r.column_name: (r.n_nulls, r.n_distinct)
+               for r in profile_columns(df, ["id", "s"]).collect()}
+        assert got == {"id": (0, 0), "s": (0, 0)}
+
+    def test_hash_split_deterministic_and_weighted(self, spark):
+        from ocrd_calamari_spark.functions.profile import hash_split
+
+        df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        a = hash_split(df, "doc_id", {"train": 90, "valid": 5, "test": 5})
+        counts = {r.split: r["count"]
+                  for r in a.groupBy("split").count().collect()}
+        assert set(counts) == {"train", "valid", "test"}
+        # hash buckets approximate the weights
+        assert abs(counts["train"] / 5000 - 0.90) < 0.02
+        # pure function of id: same assignment on a re-shuffled superset
+        b = hash_split(
+            df.union(spark.range(5000, 6000).withColumnRenamed("id", "doc_id"))
+            .repartition(7),
+            "doc_id", {"train": 90, "valid": 5, "test": 5},
+        )
+        left = {r.doc_id: r.split for r in a.collect()}
+        right = {r.doc_id: r.split for r in b.collect()}
+        assert all(right[k] == v for k, v in left.items())
+
+    def test_hash_split_rejects_bad_weights(self, spark):
+        from ocrd_calamari_spark.functions.profile import hash_split
+
+        with pytest.raises(ValueError):
+            hash_split(spark.range(1), "id", {"train": 50, "test": 49})
+
+
 class TestMultimodal:
     def test_decode_fake_backend(self, spark):
         rows = [
