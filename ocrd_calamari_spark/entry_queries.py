@@ -2786,6 +2786,35 @@ ORDER BY doc_id
 """
 
 
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact×dim join: hot keys spread over (key, salt) partitions;
+    the join result is salt-invariant, so the plain-join oracle checks it
+    exactly.  Money sums via DECIMAL(18,2) (order-independent)."""
+    from ocrd_calamari_spark.functions.joins import salted_join
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = salted_join(c, n, "c_nationkey", "n_nationkey", n_salts=8)
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SKEW_JOIN_SQL = """
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2821,6 +2850,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "profile_columns": q_profile_columns,
     "train_test_split": q_train_test_split,
+    "skew_join": q_skew_join,
     "mixture_sample": q_mixture_sample,
     "temperature_mix": q_temperature_mix,
     "tfidf_keywords": q_tfidf_keywords,
@@ -2896,6 +2926,7 @@ ORACLES = {
     "bm25_search": BM25_SQL,
     "profile_columns": PROFILE_SQL,
     "train_test_split": SPLIT_SQL,
+    "skew_join": SKEW_JOIN_SQL,
     "mixture_sample": MIXTURE_SQL,
     "temperature_mix": TEMPERATURE_MIX_SQL,
     "tfidf_keywords": TFIDF_SQL,

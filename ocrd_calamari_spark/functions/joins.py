@@ -107,3 +107,44 @@ def range_bucket_join(
         (F.col(value_col) >= F.col(lo_col))
         & (F.col(value_col) < F.col(hi_col))
     ).drop("_bucket")
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that survives heavy-hitter keys: the skewed (fact) side
+    gets a salt in [0, n_salts), the dim side is replicated once per salt
+    value, and the join key becomes (key, salt) — a single hot key spreads
+    across ``n_salts`` shuffle partitions instead of landing on one task.
+
+    The salt is ``rand``-derived: the JOIN RESULT is salt-invariant (every
+    fact row still meets its dim row exactly once, in whichever salt
+    partition the fact landed), so nondeterministic salting is safe —
+    unlike salting an aggregation, where the merge step must re-combine.
+
+    When to use vs AQE: AQE's skew-join splitting already handles most
+    sort-merge skew at runtime; explicit salting remains the tool when the
+    hot key must be spread BEFORE a downstream stage pins the partitioning
+    (e.g. a groupBy on the same key right after the join) or when the
+    build side is replicable but too big to broadcast whole.  The dim is
+    replicated ``n_salts``× — only salt joins whose right side is
+    dim-sized.
+    """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1: {n_salts}")
+    f = skewed.withColumn(
+        "_salt", (F.rand(42) * n_salts).cast("int")
+    )
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    cond = (f[left_key] == d[right_key]) & (f["_salt"] == d["_salt"])
+    # explicit two-sided projection: drop("_salt") is ambiguous here
+    return f.join(d, cond, how).select(
+        *[f[c] for c in skewed.columns], *[d[c] for c in dim.columns]
+    )

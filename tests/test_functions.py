@@ -416,6 +416,46 @@ class TestSketches:
 
 
 class TestJoins:
+    def test_salted_join_matches_plain_join_and_spreads_key(self, spark):
+        from ocrd_calamari_spark.functions.joins import salted_join
+
+        # 90% of facts share one hot key
+        facts = spark.range(0, 2000).select(
+            F.col("id").alias("fid"),
+            F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 10)
+            .cast("int").alias("k"),
+        )
+        dim = spark.createDataFrame(
+            [(i, f"name{i}") for i in range(10)], "dk int, name string"
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            got = salted_join(facts, dim, "k", "dk", n_salts=8)
+            plain = facts.join(dim, facts["k"] == dim["dk"]).select(
+                "fid", "k", "dk", "name"
+            )
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, plain.collect())
+            )
+            # the shuffle key includes the salt → hot key spreads
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert "_salt" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_salted_left_join_keeps_unmatched_facts(self, spark):
+        from ocrd_calamari_spark.functions.joins import salted_join
+
+        facts = spark.createDataFrame(
+            [(1, 1), (2, 99)], "fid long, k long"  # 99 has no dim row
+        )
+        dim = spark.createDataFrame([(1, "one")], "dk long, name string")
+        rows = {r.fid: r.name
+                for r in salted_join(facts, dim, "k", "dk", 4,
+                                     how="left").collect()}
+        assert rows == {1: "one", 2: None}
+
     def test_asof_backward_inclusive(self, spark):
         from ocrd_calamari_spark.functions.joins import asof_join
 
