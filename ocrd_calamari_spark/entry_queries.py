@@ -2815,6 +2815,60 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format pivot: per-user event counts, one column per event
+    type.  The pivot VALUES are passed explicitly — with an explicit list
+    Spark skips the extra distinct-scan job and the column order is
+    deterministic (required for the oracle and for any schema-pinned
+    sink)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside pivot
+        .na.fill(0, _EVENT_TYPES)  # absent (user, type) cells pivot to null
+        .orderBy("user_id")
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering keys over (user_id, hour-of-ts) — the
+    layout key that makes BOTH dimensions' min-max stats selective after a
+    range-partitioned write.  Pure integer bit math → hash-exact."""
+    from ocrd_calamari_spark.functions.layout import zorder_key
+
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        zorder_key(F.col("user_id"), F.hour("ts"), bits=8).alias("zkey"),
+    ).orderBy("zkey", "event_id")
+
+
+ZORDER_SQL = """
+SELECT event_id,
+       CAST(list_sum([ ((user_id >> i) & 1) * (1::BIGINT << (2*i+1))
+                       + ((h >> i) & 1) * (1::BIGINT << (2*i))
+                       for i in range(0, 8) ]) AS BIGINT) AS zkey
+FROM (SELECT event_id, user_id,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h FROM events)
+ORDER BY zkey, event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2851,6 +2905,8 @@ QUERIES = {
     "profile_columns": q_profile_columns,
     "train_test_split": q_train_test_split,
     "skew_join": q_skew_join,
+    "pivot_events": q_pivot_events,
+    "zorder_keys": q_zorder_keys,
     "mixture_sample": q_mixture_sample,
     "temperature_mix": q_temperature_mix,
     "tfidf_keywords": q_tfidf_keywords,
@@ -2927,6 +2983,8 @@ ORACLES = {
     "profile_columns": PROFILE_SQL,
     "train_test_split": SPLIT_SQL,
     "skew_join": SKEW_JOIN_SQL,
+    "pivot_events": PIVOT_SQL,
+    "zorder_keys": ZORDER_SQL,
     "mixture_sample": MIXTURE_SQL,
     "temperature_mix": TEMPERATURE_MIX_SQL,
     "tfidf_keywords": TFIDF_SQL,

@@ -1,5 +1,7 @@
 """Tests for dedup / similarity / text-analysis / multimodal functions."""
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -252,6 +254,69 @@ class TestProfileAndSplit:
 
         with pytest.raises(ValueError):
             hash_split(spark.range(1), "id", {"train": 50, "test": 49})
+
+
+class TestZorderLayout:
+    def test_zorder_key_matches_reference_morton(self, spark):
+        from ocrd_calamari_spark.functions.layout import zorder_key
+
+        rows = [(a, b) for a in (0, 1, 5, 63) for b in (0, 2, 31, 63)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        got = {(r.a, r.b): r.z
+               for r in df.select("a", "b",
+                                  zorder_key("a", "b", 6).alias("z")).collect()}
+        def morton(a, b, bits=6):
+            z = 0
+            for i in range(bits):
+                z |= ((a >> i) & 1) << (2 * i + 1) | ((b >> i) & 1) << (2 * i)
+            return z
+        assert got == {(a, b): morton(a, b) for a, b in rows}
+
+    def test_zorder_key_rejects_wide_bits(self, spark):
+        from ocrd_calamari_spark.functions.layout import zorder_key
+        with pytest.raises(ValueError):
+            zorder_key("a", "b", 32)
+
+    def test_zorder_layout_narrows_both_dims_file_stats(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        from ocrd_calamari_spark.functions.layout import zorder_layout
+
+        # 64x64 grid: every (a, b) cell once
+        df = spark.range(0, 4096).select(
+            (F.col("id") % 64).alias("a"),
+            (F.col("id") / F.lit(64)).cast("long").alias("b"),
+        )
+        zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+        zorder_layout(df, "a", "b", bits=6, n_files=16).write.parquet(zdir)
+        (df.repartitionByRange(16, "a").sortWithinPartitions("a")
+         .write.parquet(sdir))
+
+        def spans(d, col):
+            out = []
+            for p in sorted(os.listdir(d)):
+                if not p.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(d, p)).metadata
+                lo = min(md.row_group(i).column(
+                    [md.schema.column(j).name
+                     for j in range(md.num_columns)].index(col)).statistics.min
+                    for i in range(md.num_row_groups))
+                hi = max(md.row_group(i).column(
+                    [md.schema.column(j).name
+                     for j in range(md.num_columns)].index(col)).statistics.max
+                    for i in range(md.num_row_groups))
+                out.append(hi - lo)
+            return out
+
+        z_b = spans(zdir, "b")
+        s_b = spans(sdir, "b")
+        # single-column sort leaves b unclustered: every file spans ~all of b
+        assert sum(s_b) / len(s_b) > 55
+        # z-order: each file covers a compact rectangle -> narrow on b too
+        assert sum(z_b) / len(z_b) < sum(s_b) / len(s_b) / 2
+        # and a stays clustered as well (no worse than ~a quadrant per file)
+        z_a = spans(zdir, "a")
+        assert sum(z_a) / len(z_a) < 40
 
 
 class TestMultimodal:
