@@ -63,6 +63,8 @@ HEADLINE = [
     "tfidf_keywords",
     "minhash_dedup",
     "simhash_dedup",
+    "jaccard_dedup",
+    "bm25_search",
 ]
 
 

@@ -656,13 +656,15 @@ FROM reach GROUP BY v ORDER BY component, doc_id
 def q_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard similarity join (no LSH approximation): the
     inverted-index form where groupBy(pair).count() IS the intersection
-    size.  Bigram shingles at threshold 0.5 to exercise a different
-    operating point than minhash_dedup (trigrams @ 0.7).  jaccard is one
-    int/int division — bit-identical across engines, no quantization."""
+    size.  Trigram shingles (bigrams degenerate on the tiny-vocab fixture:
+    every bigram is hot, Σdf² ≈ all-pairs; trigram df maxes at ~40) at
+    threshold 0.5 — a different operating point than minhash_dedup (0.7).
+    jaccard is one int/int division — bit-identical across engines, no
+    quantization."""
     from ocrd_calamari_spark.functions.dedup import jaccard_index_dedup
 
     corpus = _with_injected_dups(spark, sf_dir)
-    out = jaccard_index_dedup(corpus, threshold=0.5, shingle_k=2)
+    out = jaccard_index_dedup(corpus, threshold=0.5, shingle_k=3)
     return out.orderBy("id_a", "id_b")
 
 
@@ -674,8 +676,8 @@ WITH corpus AS (
   FROM documents WHERE doc_id < 40
 ), sh AS (
   SELECT doc_id,
-         list_distinct([array_to_string(tokens[i:i+1], ' ')
-                        for i in range(1, greatest(len(tokens)-1, 1)+1)]) AS s
+         list_distinct([array_to_string(tokens[i:i+2], ' ')
+                        for i in range(1, greatest(len(tokens)-2, 1)+1)]) AS s
   FROM (SELECT doc_id,
                string_split_regex(trim(lower(text)), '\s+') AS tokens
         FROM corpus)

@@ -193,3 +193,46 @@ class TestSketchPlans:
         assert "collect_set" not in plan
         assert "collect_list" in plan
         assert "Window" in plan
+
+
+class TestNewOperatorPlans:
+    def test_jaccard_index_is_equi_joins_only(self, spark):
+        """The exact Jaccard similarity join must be posting-list equi
+        joins + hash aggregates — never a cartesian/nested-loop pair
+        enumeration over documents."""
+        from ocrd_calamari_spark.functions.dedup import jaccard_index_dedup
+
+        d = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        out = jaccard_index_dedup(d, threshold=0.5, shingle_k=3)
+        plan = plan_of(out, "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        spark.catalog.clearCache()  # release the operator's posting cache
+
+    def test_zorder_layout_is_range_partitioned(self, spark):
+        """The layout write must be a RANGE exchange on the Morton key
+        (balanced files even under skew), with the key itself evaluated
+        JVM-side (no BatchEvalPython)."""
+        from ocrd_calamari_spark.functions.layout import zorder_layout
+
+        d = spark.read.parquet(f"{SF}/events.parquet").select(
+            "event_id", "user_id", F.hour("ts").alias("h")
+        )
+        plan = plan_of(zorder_layout(d, "user_id", "h", bits=8, n_files=8),
+                       "simple")
+        assert "rangepartitioning" in plan.lower()
+        assert "BatchEvalPython" not in plan
+
+    def test_bm25_broadcasts_stats_not_corpus(self, spark):
+        """df/totals are broadcast; the corpus-side tf/dl aggregates have
+        map-side partial aggregation (partial_count before the exchange)."""
+        from ocrd_calamari_spark.functions.text import bm25_scores
+
+        d = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        plan = plan_of(bm25_scores(d, ["join", "filter"]), "formatted")
+        assert "BroadcastHashJoin" in plan
+        assert "partial_count" in plan
