@@ -236,3 +236,16 @@ class TestNewOperatorPlans:
         plan = plan_of(bm25_scores(d, ["join", "filter"]), "formatted")
         assert "BroadcastHashJoin" in plan
         assert "partial_count" in plan
+
+    def test_anchor_text_is_jvm_only_with_partial_agg(self, spark):
+        """Anchor extraction + aggregation stays JVM-side (regex HOFs, no
+        Python eval node), pre-aggregates map-side before the target
+        shuffle, and the post-agg top-text join is an equi join — never a
+        cartesian pair enumeration."""
+        from ocrd_calamari_spark.entry_queries import q_anchor_text
+
+        plan = plan_of(q_anchor_text(spark, SF), "formatted")
+        assert "BatchEvalPython" not in plan
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
