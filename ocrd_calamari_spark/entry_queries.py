@@ -1748,6 +1748,111 @@ ORDER BY b.target
 """
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate-LINE removal (CCNet-style paragraph dedup):
+    a line that occurs in ≥ 50 % of a domain's documents is boilerplate
+    (headers, nav menus, copyright footers); each document is rebuilt
+    from its surviving lines in order.  The statistical complement of the
+    kernel's DOM-structural block classifier (SURVEY §2.2): the kernel
+    votes per PAGE from tag structure, this op votes per DOMAIN from
+    cross-page repetition — the two catch different boilerplate.
+
+    Fixture: documents.text wrapped in deterministic domain header / nav /
+    copyright lines (same doc_id % 40 domain scheme as the pages table),
+    so the op provably strips all three and returns the body byte-exact.
+
+    All JVM; exact integer threshold (df·2 ≥ docs, no float cutoff) and
+    md5 line hashes, so the DuckDB oracle matches byte-for-byte.  At
+    100 TB: lines shuffle once as (domain, line_hash, doc) triples with
+    map-side partial aggregation; the per-domain doc-count side is
+    domain-cardinality and broadcast; reassembly shuffles each document's
+    surviving lines once, keyed by doc_id — text crosses the wire exactly
+    twice (df pass ships only hashes), which is the CCNet lower bound."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dom = F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0")
+    page_text = F.concat(
+        F.lit("Welcome to host"), dom, F.lit("\n"),
+        F.lit("Home | About | Contact\n"),
+        F.col("text"),
+        F.lit("\nCopyright host"), dom,
+    )
+    lines = docs.select(
+        "doc_id",
+        dom.alias("domain"),
+        F.posexplode(F.split(page_text, "\n")).alias("line_no", "line"),
+    )
+    per_dom = lines.groupBy("domain").agg(
+        F.countDistinct("doc_id").alias("_docs")
+    )
+    df_line = lines.groupBy(
+        "domain", F.md5(F.col("line").cast("binary")).alias("_h")
+    ).agg(F.countDistinct("doc_id").alias("_df"))
+    flagged = (
+        lines.withColumn("_h", F.md5(F.col("line").cast("binary")))
+        .join(df_line, ["domain", "_h"])
+        .join(F.broadcast(per_dom), "domain")
+        .withColumn("_boiler", F.col("_df") * 2 >= F.col("_docs"))
+    )
+    kept_struct = F.when(
+        ~F.col("_boiler"), F.struct("line_no", "line")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_boiler").cast("int")).cast("bigint")
+            .alias("n_boiler"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_LINES_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') AS domain,
+         'Welcome to host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+         || chr(10) || 'Home | About | Contact' || chr(10) || text
+         || chr(10) || 'Copyright host'
+         || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') AS page_text
+  FROM documents
+), split_docs AS (
+  SELECT doc_id, domain, string_split(page_text, chr(10)) AS parts
+  FROM docs
+), lines AS (
+  SELECT doc_id, domain,
+         generate_subscripts(parts, 1) - 1 AS line_no,
+         unnest(parts) AS line
+  FROM split_docs
+), per_dom AS (
+  SELECT domain, COUNT(DISTINCT doc_id) AS _docs FROM lines GROUP BY domain
+), df_line AS (
+  SELECT domain, md5(line) AS _h, COUNT(DISTINCT doc_id) AS _df
+  FROM lines GROUP BY domain, md5(line)
+), flagged AS (
+  SELECT l.doc_id, l.line_no, l.line,
+         (d._df * 2 >= p._docs) AS _boiler
+  FROM lines l
+  JOIN df_line d ON l.domain = d.domain AND md5(l.line) = d._h
+  JOIN per_dom p ON l.domain = p.domain
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN _boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       COALESCE(string_agg(CASE WHEN NOT _boiler THEN line END, chr(10)
+                           ORDER BY line_no), '') AS clean_text
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_prepare_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL near-dup-aware corpus prep in one composition: banded-LSH
     minhash pairs → connected components → drop every non-representative
@@ -3043,6 +3148,7 @@ QUERIES = {
     "extract_links": q_extract_links,
     "pagerank_links": q_pagerank,
     "anchor_text": q_anchor_text,
+    "boilerplate_lines": q_boilerplate_lines,
     "prepare_corpus_neardup": q_prepare_corpus_neardup,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
@@ -3134,5 +3240,6 @@ ORACLES = {
     "extract_links": _extract_links_sql(),
     "pagerank_links": _pagerank_sql(),
     "anchor_text": _anchor_text_sql(),
+    "boilerplate_lines": BOILERPLATE_LINES_SQL,
     "prepare_corpus_neardup": _prepare_corpus_neardup_sql(),
 }

@@ -945,3 +945,30 @@ class TestDedupSkew:
         # and the exact-dedup pre-pass collapses the cluster to one row
         assert distinct_by_text(corpus).count() == 1 + 50
         spark.catalog.clearCache()
+
+
+class TestBoilerplateLines:
+    def test_strips_all_injected_boilerplate_byte_exact(self, spark):
+        """The fixture wraps every document in 3 domain-repeated lines
+        (header / nav / copyright); the op must flag exactly those and
+        return the body BYTE-identical to documents.text — same
+        per-document identity bar as the extraction kernel's golden pin."""
+        from pyspark.sql import functions as F
+
+        from ocrd_calamari_spark.entry_queries import (
+            _t, q_boilerplate_lines,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = q_boilerplate_lines(spark, sf)
+        body = _t(spark, sf, "documents").select(
+            "doc_id", F.col("text").alias("_body")
+        )
+        joined = out.join(body, "doc_id")
+        n = joined.count()
+        assert n == body.count()
+        assert joined.where(F.col("n_lines") != 4).count() == 0
+        assert joined.where(F.col("n_boiler") != 3).count() == 0
+        assert joined.where(
+            F.col("clean_text") != F.col("_body")
+        ).count() == 0
