@@ -32,6 +32,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import numpy as np
 from pyspark.sql import SparkSession, functions as F
 
 from ocrd_calamari_spark.config import ExtractConfig
@@ -60,6 +61,8 @@ HEADLINE = [
     "decontaminate",
     "pack_sequences",
     "span_dedup",
+    "boilerplate_lines",
+    "anchor_text",
     "tfidf_keywords",
     "minhash_dedup",
     "simhash_dedup",
@@ -97,6 +100,36 @@ def steal_during(fn):
     b = _stat_snap()
     d = [y - x for x, y in zip(a, b)]
     return out, d[7] / max(sum(d), 1)
+
+
+# Quiet-box single-thread copy bandwidth (measured 16-18 GB/s on this VM);
+# seeds the degraded-bus gate so a contended FIRST probe can't anchor the
+# threshold.  Override per machine via env.
+MEMBW_REF = float(os.environ.get("SPARK_GRAFT_MEMBW_REF", "15.0"))
+
+
+def membw_probe_gbps(size_mb: int = 256, passes: int = 3) -> float:
+    """Single-thread memory-bandwidth probe (GB/s): best-of-N copy of a
+    buffer far larger than the LLC.
+
+    Why it exists: a co-tenant VM can saturate the HOST's memory bus with
+    zero guest-visible CPU steal and zero guest busy — the only symptom
+    is that bus-bound work slows down while cache-resident work doesn't
+    (observed: single-thread kernel rate nominal at 2.4k docs/s while
+    the 8-core leg ran at 1/3 its usual rate under <6 % steal).  A 256 MB
+    copy is bus-bound, so its GB/s is a direct guest-side reading of the
+    currently AVAILABLE bandwidth.
+    """
+    a = np.empty(size_mb * 1024 * 1024 // 8, dtype=np.float64)
+    a.fill(1.0)
+    b = np.empty_like(a)
+    best = None
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return (2 * a.nbytes) / best / 1e9  # copy = read + write
 
 
 def wait_for_quiet_box(threshold: float = 0.10, max_wait_sec: float = 90.0) -> float:
@@ -193,15 +226,21 @@ def main():
         # headline docs/s: retry under host-CPU steal (see steal_during)
         ext_sec = n_docs = None
         ext_steal = 1.0
+        ext_membw = 0.0
+        best_membw = MEMBW_REF
         for _ in range(3):
             wait_for_quiet_box()
+            membw = membw_probe_gbps()
+            best_membw = max(best_membw, membw)
             (sec, n), steal = steal_during(
                 lambda: time_extraction(spark, corpus_dir, CPUS,
                                         repartition=True)
             )
             if ext_sec is None or sec < ext_sec:
-                ext_sec, n_docs, ext_steal = sec, n, steal
-            if steal <= 0.08:
+                ext_sec, n_docs, ext_steal, ext_membw = sec, n, steal, membw
+            # retry under host steal OR a degraded memory bus (both are
+            # host-state measurements, never the throughput outcome)
+            if steal <= 0.08 and membw >= 0.6 * best_membw:
                 break
         results["extract_pages"] = round(ext_sec, 3)
         docs_per_sec = round(n_docs / ext_sec, 1)
@@ -259,6 +298,7 @@ def main():
             n_scale = 0
             pre_busy = []
             attempts = 0
+            best_membw = MEMBW_REF
             max_attempts = 2 * TRIALS + 2
             while len(pairs) < TRIALS and attempts < max_attempts:
                 attempts += 1
@@ -267,10 +307,15 @@ def main():
                 pre_busy.append(round(wait_for_quiet_box(), 3))
                 pair = {}
                 steal_max = 0.0
+                membw_min = None
                 for cores in (lo_cores, hi_cores):
                     s = make_session(cores)
                     s.sparkContext.setLogLevel("ERROR")
                     warm(s, corpus_dir, cores)
+                    membw = membw_probe_gbps()
+                    best_membw = max(best_membw, membw)
+                    membw_min = membw if membw_min is None \
+                        else min(membw_min, membw)
 
                     def _leg(s=s, cores=cores):
                         return time_extraction(s, corpus_dir, cores,
@@ -282,11 +327,17 @@ def main():
                     s.stop()
                 pair["eff"] = (pair[hi_cores] / pair[lo_cores]) / (hi_cores / lo_cores)
                 pair["steal"] = round(steal_max, 3)
+                pair["membw"] = round(membw_min, 2)
                 # HOST CPU steal is invisible to the guest until the work
-                # runs; a pair measured under >8% steal is re-run (bounded
-                # attempts, filtered on the steal MEASUREMENT, never on
-                # the efficiency outcome)
-                if steal_max > 0.08 and attempts < max_attempts:
+                # runs, and host memory-BUS contention is invisible even
+                # to steal (co-tenant saturates the bus: single-thread
+                # cache-resident work stays nominal, bus-bound legs run
+                # at 1/3 speed under <6% steal — observed).  A pair
+                # measured under >8% steal or a >40%-degraded bus probe
+                # is re-run (bounded attempts, filtered on host-state
+                # MEASUREMENTS, never on the efficiency outcome).
+                if (steal_max > 0.08 or membw_min < 0.6 * best_membw) \
+                        and attempts < max_attempts:
                     continue
                 pairs.append(pair)
             pairs.sort(key=lambda p: p["eff"])
@@ -309,6 +360,7 @@ def main():
                 "efficiency": round(med["eff"], 3),
                 "efficiency_all_trials": [round(p["eff"], 3) for p in pairs],
                 "pair_host_steal": [p["steal"] for p in pairs],
+                "pair_membw_gbps": [p["membw"] for p in pairs],
                 "pre_pair_external_busy": pre_busy,
                 "pair_attempts": attempts,
             }
@@ -322,7 +374,8 @@ def main():
         "queries": results,
         "sf": sf,
         "extraction": {"docs": n_docs, "docs_per_sec": docs_per_sec,
-                       "host_steal": round(ext_steal, 3)},
+                       "host_steal": round(ext_steal, 3),
+                       "membw_gbps": round(ext_membw, 2)},
         "suite_host_steal": round(suite_steal, 3),
     }
     if scaling:
