@@ -342,11 +342,24 @@ def main():
                 pairs.append(pair)
             pairs.sort(key=lambda p: p["eff"])
             med = pairs[len(pairs) // 2]
-            # absolute ceiling at full width
+            # absolute ceiling at full width — same host-state gating as
+            # the pairs (an ungated max leg once recorded 5k docs/s purely
+            # from a mid-leg bus-contention burst)
             s = make_session(CPUS)
             s.sparkContext.setLogLevel("ERROR")
             warm(s, corpus_dir, CPUS)
-            sec_max, _ = time_extraction(s, corpus_dir, CPUS, repartition=False)
+            sec_max = None
+            for _ in range(3):
+                wait_for_quiet_box()
+                membw = membw_probe_gbps()
+                best_membw = max(best_membw, membw)
+                (sec, _), steal = steal_during(
+                    lambda: time_extraction(s, corpus_dir, CPUS,
+                                            repartition=False)
+                )
+                sec_max = sec if sec_max is None else min(sec_max, sec)
+                if steal <= 0.08 and membw >= 0.6 * best_membw:
+                    break
             s.stop()
             scaling = {
                 "cores_lo": lo_cores,
