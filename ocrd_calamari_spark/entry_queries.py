@@ -1748,6 +1748,149 @@ ORDER BY b.target
 """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-rule URL filtering — the crawl-compliance pass every web
+    pipeline runs before fetching/processing: per-host Disallow PREFIXES
+    are applied to each page's path, and the output reports per host how
+    many pages the rules block vs keep.
+
+    Rule fixture (deterministic, derived from the host number the same
+    way the pages fixture derives hosts): hosts ≡ 0 (mod 3) disallow
+    paths under ``/d/1``; hosts ≡ 0 (mod 4) disallow ``/d/2`` — some
+    hosts get both rules, some neither, and prefix matching must catch
+    ``/d/1``, ``/d/17``, ``/d/1234`` alike.
+
+    100 TB shape: the rule table is host-cardinality (tiny — real
+    robots.txt corpora are ~1 row per host) and explicitly broadcast, so
+    the pages scan streams through a BroadcastHashJoin on host with the
+    prefix test as the join residual; nothing but per-host counts ever
+    shuffles.  All JVM string ops, byte-exact in DuckDB."""
+    pages = pages_from_documents(spark, sf_dir).select("url")
+    host = F.regexp_extract("url", r"host([0-9]+)\.example", 1).cast("int")
+    path = F.substring_index("url", ".example", -1)
+    p = pages.select("url", host.alias("host"), path.alias("path"))
+    hosts = spark.range(0, 40).select(F.col("id").cast("int").alias("host"))
+    rules = hosts.where(F.col("host") % 3 == 0).select(
+        "host", F.lit("/d/1").alias("prefix")
+    ).unionByName(
+        hosts.where(F.col("host") % 4 == 0).select(
+            "host", F.lit("/d/2").alias("prefix")
+        )
+    )
+    blocked = (
+        p.join(F.broadcast(rules), "host")
+        .where(F.col("path").startswith(F.col("prefix")))
+        .select("host", "url")
+        .distinct()
+    )
+    n_pages = p.groupBy("host").agg(F.count("*").alias("n_pages"))
+    n_blocked = blocked.groupBy("host").agg(F.count("*").alias("n_blocked"))
+    return (
+        n_pages.join(n_blocked, "host", "left")
+        .select(
+            "host",
+            "n_pages",
+            F.coalesce("n_blocked", F.lit(0)).cast("bigint")
+            .alias("n_blocked"),
+            (F.col("n_pages")
+             - F.coalesce("n_blocked", F.lit(0))).cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("host")
+    )
+
+
+ROBOTS_FILTER_SQL = r"""
+WITH pages AS (
+  SELECT 'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+         || '.example/d/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), p AS (
+  SELECT url,
+         CAST(regexp_extract(url, 'host([0-9]+)\.example', 1) AS INT)
+           AS host,
+         split_part(url, '.example', 2) AS path
+  FROM pages
+), hosts AS (
+  SELECT CAST(range AS INT) AS host FROM range(0, 40)
+), rules AS (
+  SELECT host, '/d/1' AS prefix FROM hosts WHERE host % 3 = 0
+  UNION ALL
+  SELECT host, '/d/2' AS prefix FROM hosts WHERE host % 4 = 0
+), blocked AS (
+  SELECT DISTINCT p.host, p.url
+  FROM p JOIN rules r
+    ON p.host = r.host AND p.path LIKE r.prefix || '%'
+), np AS (
+  SELECT host, COUNT(*) AS n_pages FROM p GROUP BY host
+), nb AS (
+  SELECT host, COUNT(*) AS n_blocked FROM blocked GROUP BY host
+)
+SELECT np.host,
+       CAST(np.n_pages AS BIGINT) AS n_pages,
+       CAST(COALESCE(nb.n_blocked, 0) AS BIGINT) AS n_blocked,
+       CAST(np.n_pages - COALESCE(nb.n_blocked, 0) AS BIGINT) AS n_kept
+FROM np LEFT JOIN nb ON np.host = nb.host
+ORDER BY np.host
+"""
+
+
+def q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling: within each host the frontier
+    serializes fetches (slot = dense per-host position, deterministic url
+    order) spaced by the host's crawl delay; across hosts it is perfectly
+    parallel.  Emits per-url (slot, fetch_epoch) — the table a fetcher
+    fleet partitions by host and walks in slot order.
+
+    Host delays vary (1 + host mod 5 seconds) so the schedule arithmetic
+    is visibly per-host, and everything is integer epoch math — exact in
+    DuckDB.  100 TB shape: one hash shuffle on host (the window), then
+    pure map arithmetic; a host is the natural partition key because
+    politeness makes it the unit of serialization anyway — the
+    Zipf-skewed giant host is a SCHEDULE bottleneck, not a shuffle one
+    (its slots stay one partition but the fetch horizon, not the engine,
+    is the limit)."""
+    pages = pages_from_documents(spark, sf_dir).select("url")
+    host = F.regexp_extract("url", r"host([0-9]+)\.example", 1).cast("int")
+    p = pages.select("url", host.alias("host"))
+    w = Window.partitionBy("host").orderBy("url")
+    delay = (F.lit(1) + F.col("host") % 5).cast("bigint")
+    return (
+        p.withColumn("slot", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(
+            "url",
+            "host",
+            "slot",
+            delay.alias("delay_sec"),
+            (F.lit(1717200000) + F.col("slot") * delay).alias("fetch_epoch"),
+        )
+        .orderBy("host", "slot")
+    )
+
+
+URL_FRONTIER_SQL = r"""
+WITH pages AS (
+  SELECT 'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+         || '.example/d/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), p AS (
+  SELECT url,
+         CAST(regexp_extract(url, 'host([0-9]+)\.example', 1) AS INT)
+           AS host
+  FROM pages
+)
+SELECT url, host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+            AS BIGINT) AS slot,
+       CAST(1 + host % 5 AS BIGINT) AS delay_sec,
+       CAST(1717200000
+            + (row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+              * (1 + host % 5) AS BIGINT) AS fetch_epoch
+FROM p
+ORDER BY host, slot
+"""
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain boilerplate-LINE removal (CCNet-style paragraph dedup):
     a line that occurs in ≥ 50 % of a domain's documents is boilerplate
@@ -3149,6 +3292,8 @@ QUERIES = {
     "pagerank_links": q_pagerank,
     "anchor_text": q_anchor_text,
     "boilerplate_lines": q_boilerplate_lines,
+    "robots_filter": q_robots_filter,
+    "url_frontier": q_url_frontier,
     "prepare_corpus_neardup": q_prepare_corpus_neardup,
     # dedup / ann (rows-only)
     "minhash_dedup": q_minhash_dedup,
@@ -3241,5 +3386,7 @@ ORACLES = {
     "pagerank_links": _pagerank_sql(),
     "anchor_text": _anchor_text_sql(),
     "boilerplate_lines": BOILERPLATE_LINES_SQL,
+    "robots_filter": ROBOTS_FILTER_SQL,
+    "url_frontier": URL_FRONTIER_SQL,
     "prepare_corpus_neardup": _prepare_corpus_neardup_sql(),
 }

@@ -249,3 +249,14 @@ class TestNewOperatorPlans:
         assert "partial_count" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_robots_rules_are_broadcast(self, spark):
+        """The host-cardinality rule table must broadcast (pages stream
+        through; only per-host counts shuffle) with the prefix test as a
+        join-side filter, not a nested-loop pairing."""
+        from ocrd_calamari_spark.entry_queries import q_robots_filter
+
+        plan = plan_of(q_robots_filter(spark, SF), "formatted")
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
