@@ -16,7 +16,7 @@ scripts/check_oracles.py do).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ocrd_calamari_spark.functions.text import fingerprint
 
@@ -285,6 +285,7 @@ def jaccard_index_dedup(
     threshold: float = 0.5,
     shingle_k: int = 2,
     max_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join via an inverted index — the
     non-approximate member of the dedup family (vs minhash/simhash).
@@ -324,12 +325,61 @@ def jaccard_index_dedup(
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("n"))
     a = postings.select(F.col(id_col).alias("id_a"), "g")
     b = postings.select(F.col(id_col).alias("id_b"), "g")
-    inter = (
-        a.join(b, "g")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    if prefix_filter:
+        # PPJoin-family prefix filtering (Xiao et al., WWW'08), LOSSLESS:
+        # under ANY global total order of shingles, a pair with
+        # jaccard ≥ t must share an element among each side's first
+        # n - ceil(t·n) + 1 shingles.  (If none of A's first
+        # n_a - ceil(t·n_a) + 1 elements were shared, A would have at
+        # most ceil(t·n_a) - 1 < t·n_a ≤ |A∩B| shared elements —
+        # contradiction.)  Ordering RARE-FIRST (df asc, hash asc) puts
+        # low-df shingles in the prefixes.  Default OFF: the filter's
+        # win requires a Zipf shingle-df distribution (real web text),
+        # where rare prefixes make candidates ≈ true pairs; on the
+        # near-UNIFORM-df synthetic fixture it was a measured 3-6× LOSS
+        # (candidates only 1.15M → 414k while the candidate-driven
+        # verify multiplies each candidate by its full posting list —
+        # BENCH.md A/B note).  Result is identical either way, pinned by
+        # the prefix-on/off equality test in test_functions.py.
+        gdf = postings.groupBy("g").agg(F.count("*").alias("_df"))
+        w = Window.partitionBy(id_col).orderBy("_df", "g")
+        ranked = (
+            postings.join(gdf, "g")
+            .withColumn("_r", F.row_number().over(w))
+        )
+        n_by_doc = sizes.select(F.col(id_col), F.col("n").alias("_n"))
+        prefix = (
+            ranked.join(n_by_doc, id_col)
+            .where(
+                F.col("_r")
+                <= F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold))
+                + F.lit(1)
+            )
+            .select(F.col(id_col), "g")
+        )
+        pa = prefix.select(F.col(id_col).alias("id_a"), "g")
+        pb = prefix.select(F.col(id_col).alias("id_b"), "g")
+        cands = (
+            pa.join(pb, "g")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # count full intersections for candidates only: attach A's full
+        # postings to each candidate pair, match them against B's on g
+        inter = (
+            cands.join(a, "id_a")
+            .join(b, ["id_b", "g"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "g")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         inter
         .join(sizes.select(F.col(id_col).alias("id_a"),

@@ -972,3 +972,34 @@ class TestBoilerplateLines:
         assert joined.where(
             F.col("clean_text") != F.col("_body")
         ).count() == 0
+
+
+class TestJaccardPrefixFilter:
+    def test_prefix_filter_is_lossless(self, spark):
+        """PPJoin prefix filtering must return the IDENTICAL exact result
+        as the direct postings join (it is an algebraic candidate prune,
+        not an approximation) — on a fixture with pairs both above and
+        below the threshold."""
+        from pyspark.sql import functions as F
+
+        from ocrd_calamari_spark.functions.dedup import jaccard_index_dedup
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        dups = docs.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+        corpus = docs.unionByName(dups).repartition(8, "doc_id")
+        cols = ["id_a", "id_b", "inter", "union_n", "jaccard"]
+        on = jaccard_index_dedup(
+            corpus, threshold=0.5, shingle_k=3, prefix_filter=True
+        ).select(*cols)
+        off = jaccard_index_dedup(
+            corpus, threshold=0.5, shingle_k=3, prefix_filter=False
+        ).select(*cols)
+        assert on.count() > 0
+        assert on.exceptAll(off).count() == 0
+        assert off.exceptAll(on).count() == 0
+        spark.catalog.clearCache()
