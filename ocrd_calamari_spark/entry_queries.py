@@ -1917,6 +1917,8 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain-cardinality and broadcast; reassembly shuffles each document's
     surviving lines once, keyed by doc_id — text crosses the wire exactly
     twice (df pass ships only hashes), which is the CCNet lower bound."""
+    from ocrd_calamari_spark.functions.text import strip_boilerplate_lines
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dom = F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0")
     page_text = F.concat(
@@ -1925,42 +1927,10 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit("\nCopyright host"), dom,
     )
-    lines = docs.select(
-        "doc_id",
-        dom.alias("domain"),
-        F.posexplode(F.split(page_text, "\n")).alias("line_no", "line"),
+    corpus = docs.select(
+        "doc_id", dom.alias("domain"), page_text.alias("text")
     )
-    per_dom = lines.groupBy("domain").agg(
-        F.countDistinct("doc_id").alias("_docs")
-    )
-    df_line = lines.groupBy(
-        "domain", F.md5(F.col("line").cast("binary")).alias("_h")
-    ).agg(F.countDistinct("doc_id").alias("_df"))
-    flagged = (
-        lines.withColumn("_h", F.md5(F.col("line").cast("binary")))
-        .join(df_line, ["domain", "_h"])
-        .join(F.broadcast(per_dom), "domain")
-        .withColumn("_boiler", F.col("_df") * 2 >= F.col("_docs"))
-    )
-    kept_struct = F.when(
-        ~F.col("_boiler"), F.struct("line_no", "line")
-    )
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.sum(F.col("_boiler").cast("int")).cast("bigint")
-            .alias("n_boiler"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            ).alias("clean_text"),
-        )
-        .orderBy("doc_id")
-    )
+    return strip_boilerplate_lines(corpus).orderBy("doc_id")
 
 
 BOILERPLATE_LINES_SQL = r"""

@@ -396,3 +396,71 @@ def bm25_scores(
     for c in score[1:]:
         expr = expr + F.col(c)
     return agg.select(F.col(id_col), expr.alias("score"))
+
+
+def strip_boilerplate_lines(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    text_col: str = "text",
+    thresh_num: int = 1,
+    thresh_den: int = 2,
+) -> "DataFrame":
+    """Per-domain boilerplate-LINE removal (CCNet-style paragraph dedup):
+    a line occurring in ≥ thresh_num/thresh_den of its domain's documents
+    is boilerplate; each document is rebuilt from its surviving lines in
+    original order.  Returns (id, n_lines, n_boiler, clean_text).
+
+    The threshold is an exact integer comparison
+    (df · thresh_den ≥ docs · thresh_num — no float cutoff), line
+    identity is the md5 of the line bytes, and line-frequency counts are
+    per-document-distinct — all reproducible bit-for-bit by the SQL twin
+    and the randomized python reference (test_functions.py).
+
+    Corner the definition implies: a single-document domain strips EVERY
+    line (each occurs in 100 % of that domain's docs) — callers wanting
+    different behavior raise the threshold or pre-group tiny domains.
+
+    100 TB shape: the df pass ships only (domain, line-hash, doc)
+    triples with map-side partial aggregation; the per-domain doc-count
+    side is domain-cardinality and broadcast; full text crosses the wire
+    exactly twice (df join + per-doc reassembly)."""
+    lines = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("_dom"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "_line_no", "_line"
+        ),
+    )
+    per_dom = lines.groupBy("_dom").agg(
+        F.countDistinct(id_col).alias("_docs")
+    )
+    df_line = lines.groupBy(
+        "_dom", F.md5(F.col("_line").cast("binary")).alias("_h")
+    ).agg(F.countDistinct(id_col).alias("_df"))
+    flagged = (
+        lines.withColumn("_h", F.md5(F.col("_line").cast("binary")))
+        .join(df_line, ["_dom", "_h"])
+        .join(F.broadcast(per_dom), "_dom")
+        .withColumn(
+            "_boiler",
+            F.col("_df") * F.lit(int(thresh_den))
+            >= F.col("_docs") * F.lit(int(thresh_num)),
+        )
+    )
+    kept = F.when(~F.col("_boiler"), F.struct("_line_no", "_line"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_boiler").cast("int")).cast("bigint")
+            .alias("n_boiler"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )

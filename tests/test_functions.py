@@ -1003,3 +1003,56 @@ class TestJaccardPrefixFilter:
         assert on.exceptAll(off).count() == 0
         assert off.exceptAll(on).count() == 0
         spark.catalog.clearCache()
+
+
+class TestBoilerplateRandomized:
+    def test_matches_python_reference(self, spark):
+        """120 random multi-line docs over 7 domains — per-domain line-df
+        thresholding vs a pure-python reference.  Stresses what the fixed
+        fixture can't: body lines that DO repeat domain-wide (stripped),
+        empty lines, duplicate lines within one doc (df counts documents,
+        not occurrences), and a single-document domain (every line at
+        100 % df → fully stripped)."""
+        import random
+        from collections import defaultdict
+
+        from ocrd_calamari_spark.functions.text import (
+            strip_boilerplate_lines,
+        )
+
+        rng = random.Random(29)
+        pool = [f"line {j} text" for j in range(12)] + ["", "shared footer"]
+        rows = []
+        for i in range(120):
+            dom = f"d{rng.randint(0, 5)}" if i < 119 else "solo"
+            n = rng.randint(1, 6)
+            body = [rng.choice(pool) for _ in range(n)]
+            rows.append((i, dom, "\n".join(body)))
+
+        got = {
+            r["doc_id"]: r
+            for r in strip_boilerplate_lines(
+                spark.createDataFrame(rows, ["doc_id", "domain", "text"])
+            ).collect()
+        }
+
+        docs_per_dom = defaultdict(set)
+        df_line = defaultdict(set)  # (dom, line) -> set of doc ids
+        for i, dom, text in rows:
+            docs_per_dom[dom].add(i)
+            for line in text.split("\n"):
+                df_line[(dom, line)].add(i)
+        assert len(got) == len(rows)
+        for i, dom, text in rows:
+            lines = text.split("\n")
+            boiler = [
+                2 * len(df_line[(dom, ln)]) >= len(docs_per_dom[dom])
+                for ln in lines
+            ]
+            r = got[i]
+            assert r["n_lines"] == len(lines), i
+            assert r["n_boiler"] == sum(boiler), i
+            expect = "\n".join(
+                ln for ln, b in zip(lines, boiler) if not b
+            )
+            assert r["clean_text"] == expect, i
