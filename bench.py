@@ -230,12 +230,17 @@ def main():
         best_membw = MEMBW_REF
         for _ in range(3):
             wait_for_quiet_box()
-            membw = membw_probe_gbps()
-            best_membw = max(best_membw, membw)
+            # probe the bus BEFORE and AFTER the leg and gate on the min:
+            # unlike steal (measured ACROSS the leg), a probe is a point
+            # sample — a burst starting mid-leg is invisible to the pre
+            # probe alone but caught by the post one
+            membw_pre = membw_probe_gbps()
             (sec, n), steal = steal_during(
                 lambda: time_extraction(spark, corpus_dir, CPUS,
                                         repartition=True)
             )
+            membw = min(membw_pre, membw_probe_gbps())
+            best_membw = max(best_membw, membw)
             if ext_sec is None or sec < ext_sec:
                 ext_sec, n_docs, ext_steal, ext_membw = sec, n, steal, membw
             # retry under host steal OR a degraded memory bus (both are
@@ -312,16 +317,20 @@ def main():
                     s = make_session(cores)
                     s.sparkContext.setLogLevel("ERROR")
                     warm(s, corpus_dir, cores)
-                    membw = membw_probe_gbps()
-                    best_membw = max(best_membw, membw)
-                    membw_min = membw if membw_min is None \
-                        else min(membw_min, membw)
+                    # bus probes are point samples (steal is measured
+                    # ACROSS the leg): bracket the leg and keep the min
+                    # so a burst starting mid-leg still trips the gate
+                    membw_pre = membw_probe_gbps()
 
                     def _leg(s=s, cores=cores):
                         return time_extraction(s, corpus_dir, cores,
                                                repartition=False)
 
                     (sec, n_scale), steal = steal_during(_leg)
+                    membw = min(membw_pre, membw_probe_gbps())
+                    best_membw = max(best_membw, membw)
+                    membw_min = membw if membw_min is None \
+                        else min(membw_min, membw)
                     steal_max = max(steal_max, steal)
                     pair[cores] = n_scale / sec
                     s.stop()
@@ -351,12 +360,13 @@ def main():
             sec_max = None
             for _ in range(3):
                 wait_for_quiet_box()
-                membw = membw_probe_gbps()
-                best_membw = max(best_membw, membw)
+                membw_pre = membw_probe_gbps()
                 (sec, _), steal = steal_during(
                     lambda: time_extraction(s, corpus_dir, CPUS,
                                             repartition=False)
                 )
+                membw = min(membw_pre, membw_probe_gbps())
+                best_membw = max(best_membw, membw)
                 sec_max = sec if sec_max is None else min(sec_max, sec)
                 if steal <= 0.08 and membw >= 0.6 * best_membw:
                     break

@@ -1650,6 +1650,17 @@ FROM pr WHERE iter = 10 ORDER BY rank DESC, node
 """
 
 
+def _page_host():
+    """https://<host> of a page url — the single definition both
+    link-graph queries (pagerank, anchor_text) must keep in lockstep
+    with their DuckDB twins' host derivation."""
+    return F.concat(
+        F.lit("https://"),
+        F.element_at(F.split(F.element_at(F.split("url", "://", 2), 2),
+                             "/", 2), 1),
+    )
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inbound anchor-text aggregation: for every link TARGET, the count
     of inbound anchors, distinct source pages, distinct anchor texts, and
@@ -1662,22 +1673,20 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     All JVM: regexp_extract_all over the pages scan (whole ``<a>``
     elements, idx 0), then two regexp_extracts for href/text — the
     patterns are valid in Java regex AND RE2, so DuckDB reproduces them
-    byte-for-byte.  At 100 TB: one pure map over pages, one shuffle
-    keyed by target for the (target, anchor) partial counts, and a
-    post-aggregation self-join on target whose both sides are
-    domain-cardinality (AQE broadcasts the top-text side).  Anchor text
-    concentrates on popular targets, but the (target, anchor) first-level
-    key splits a hot target across its text variants — the same
+    byte-for-byte.  At 100 TB: ONE pure map over pages into one
+    first-level aggregation keyed (target, anchor, url), persisted — the
+    expensive regex pass runs once (two downstream aggregation branches
+    fed directly from ``parsed`` would each re-execute the full scan:
+    they need different exchanges, so Catalyst cannot share the subtree);
+    everything after is re-aggregation of the compact per-(target,
+    anchor, url) counts plus a domain-cardinality self-join (AQE
+    broadcasts the top-text side).  The composite first-level key also
+    splits a hot target across its text/source variants — the same
     pre-aggregation shape as salted_agg."""
     pages = pages_from_documents(spark, sf_dir)
-    host = F.concat(
-        F.lit("https://"),
-        F.element_at(F.split(F.element_at(F.split("url", "://", 2), 2),
-                             "/", 2), 1),
-    )
     anchors = pages.select(
         "url",
-        host.alias("_host"),
+        _page_host().alias("_host"),
         F.explode(F.expr(
             "regexp_extract_all(cast(html as string), "
             "'<a href=\"[^\"]*\"[^>]*>[^<]*</a>', 0)"
@@ -1689,8 +1698,22 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("target"),
         F.regexp_extract("_a", ">([^<]*)</a>", 1).alias("anchor"),
     )
-    per_text = parsed.groupBy("target", "anchor").agg(
-        F.count("*").alias("_n")
+    # the ONLY pass over the pages scan: per (target, anchor, url) counts.
+    # Persisted because two downstream aggregations (different exchange
+    # keys) read it — without the cache each branch re-executes the full
+    # regex scan (Catalyst does not share subplans across different
+    # exchanges; measured 4 scans in the uncached plan).  Measured trade
+    # at sf0.1: persist costs ~0.2-0.3 s MORE (cache materialization >
+    # two cheap re-scans of a 5k-doc corpus) — kept anyway because the
+    # scale term flips hard: at 100 TB the duplicated branch re-reads the
+    # entire corpus through the regex, while the cached table stays
+    # domain-cardinality.  Same pattern as minhash's candidate cache;
+    # bench/oracle harnesses clearCache() between queries.
+    tau = parsed.groupBy("target", "anchor", "url").agg(
+        F.count("*").alias("_c")
+    ).persist()
+    per_text = tau.groupBy("target", "anchor").agg(
+        F.sum("_c").cast("bigint").alias("_n")
     )
     w = Window.partitionBy("target").orderBy(F.desc("_n"), F.asc("anchor"))
     top = (
@@ -1699,8 +1722,8 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("target", F.col("anchor").alias("top_anchor"),
                 F.col("_n").alias("top_anchor_n"))
     )
-    base = parsed.groupBy("target").agg(
-        F.count("*").alias("n_anchors"),
+    base = tau.groupBy("target").agg(
+        F.sum("_c").cast("bigint").alias("n_anchors"),
         F.countDistinct("url").alias("n_src_pages"),
         F.countDistinct("anchor").alias("n_texts"),
     )

@@ -348,13 +348,18 @@ def jaccard_index_dedup(
             .withColumn("_r", F.row_number().over(w))
         )
         n_by_doc = sizes.select(F.col(id_col), F.col("n").alias("_n"))
+        # ceil over the TRUE t·n, never the float overshoot: when t·n is
+        # mathematically an integer, the double product can land a hair
+        # ABOVE it and float-ceil then adds 1, shrinking the prefix below
+        # the lossless bound (drops qualifying pairs — e.g. t=0.07,
+        # n=100: ceil(7.000000000000001)=8).  Subtracting an epsilon far
+        # above double multiply error (~1e-11 abs at n=10^6) but far
+        # below 1 errs only toward a LONGER prefix, which is always
+        # lossless (just prunes less).
+        ceil_tn = F.ceil(F.col("_n") * F.lit(threshold) - F.lit(1e-6))
         prefix = (
             ranked.join(n_by_doc, id_col)
-            .where(
-                F.col("_r")
-                <= F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold))
-                + F.lit(1)
-            )
+            .where(F.col("_r") <= F.col("_n") - ceil_tn + F.lit(1))
             .select(F.col(id_col), "g")
         )
         pa = prefix.select(F.col(id_col).alias("id_a"), "g")

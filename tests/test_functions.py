@@ -993,16 +993,21 @@ class TestJaccardPrefixFilter:
         )
         corpus = docs.unionByName(dups).repartition(8, "doc_id")
         cols = ["id_a", "id_b", "inter", "union_n", "jaccard"]
-        on = jaccard_index_dedup(
-            corpus, threshold=0.5, shingle_k=3, prefix_filter=True
-        ).select(*cols)
-        off = jaccard_index_dedup(
-            corpus, threshold=0.5, shingle_k=3, prefix_filter=False
-        ).select(*cols)
-        assert on.count() > 0
-        assert on.exceptAll(off).count() == 0
-        assert off.exceptAll(on).count() == 0
-        spark.catalog.clearCache()
+        # 0.5 is exact in binary; 0.07 is the float-ceil trap: for a doc
+        # with n=100 distinct shingles, ceil(100*0.07) in doubles gives 8
+        # (true t·n = 7 exactly), which would shrink the prefix below the
+        # lossless bound without the epsilon guard in the prefix length
+        for t in (0.5, 0.07):
+            on = jaccard_index_dedup(
+                corpus, threshold=t, shingle_k=3, prefix_filter=True
+            ).select(*cols)
+            off = jaccard_index_dedup(
+                corpus, threshold=t, shingle_k=3, prefix_filter=False
+            ).select(*cols)
+            assert on.count() > 0, t
+            assert on.exceptAll(off).count() == 0, t
+            assert off.exceptAll(on).count() == 0, t
+            spark.catalog.clearCache()
 
 
 class TestBoilerplateRandomized:
