@@ -1592,14 +1592,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocrd_calamari_spark.functions.graph import pagerank
 
     links = q_extract_links(spark, sf_dir)
-    host = F.concat(
-        F.lit("https://"),
-        F.element_at(F.split(F.element_at(F.split("url", "://", 2), 2),
-                             "/", 2), 1),
-    )
     fwd = links.select(
         F.col("url").alias("src"),
-        F.concat(host, F.col("href")).alias("dst"),
+        F.concat(_page_host(), F.col("href")).alias("dst"),
     )
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
