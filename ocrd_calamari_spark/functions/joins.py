@@ -42,6 +42,20 @@ def asof_join(
     row with NULL value columns matches as that whole row — never a
     mix of fields from different right rows.
     """
+    reserved = {"_ts", "_side", "_match"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join uses working columns {sorted(reserved)}; rename "
+            f"the clashing left column(s) {sorted(clash)} first"
+        )
+    out_cols = {f"{prefix}ts", *(f"{prefix}{c}" for c in value_cols)}
+    clash = out_cols & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join would overwrite existing left column(s) "
+            f"{sorted(clash)}; pass a different prefix"
+        )
     l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn(
         "_side", F.lit(1)
     )
@@ -86,6 +100,12 @@ def range_bucket_join(
     in exactly one bucket (the fact's), so no post-join dedup is needed.
     """
     w = float(bucket_width)
+    if not w > 0.0:  # also rejects NaN
+        raise ValueError(
+            f"bucket_width must be > 0: {bucket_width!r} (division by a "
+            f"non-positive width yields Infinity/NaN buckets, silently "
+            f"empty join output)"
+        )
     f = facts.withColumn(
         "_bucket", F.floor(F.col(value_col) / F.lit(w)).cast("long")
     )
@@ -137,6 +157,18 @@ def salted_join(
     """
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1: {n_salts}")
+    # The salting construction is only salt-invariant when every OUTPUT
+    # row is driven by a fact row (each fact carries exactly one salt).
+    # A right/full join would emit one null-padded row per UNMATCHED dim
+    # REPLICA (n_salts spurious rows per unmatched dim key), and
+    # semi/anti joins can't produce the two-sided projection below.
+    allowed = {"inner", "left", "left_outer", "cross"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only, got {how!r}: "
+            f"the dim side is replicated {n_salts}x, so right/full "
+            f"outer would duplicate unmatched dim rows per salt replica"
+        )
     f = skewed.withColumn(
         "_salt", (F.rand(42) * n_salts).cast("int")
     )

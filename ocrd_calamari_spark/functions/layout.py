@@ -69,7 +69,11 @@ def zorder_layout(
     Z-curve segment ≈ a small rectangle in (a, b) space, which is what
     makes BOTH columns' min-max footer stats selective.
     """
+    if n_files is not None and n_files < 1:
+        # a computed n_files of 0 (e.g. bytes // target_size on a tiny
+        # table) is a caller bug, not a request for default parallelism
+        raise ValueError(f"n_files must be >= 1 when given: {n_files}")
     keyed = df.withColumn("_z", zorder_key(col_a, col_b, bits))
-    parts = keyed.repartitionByRange(n_files, "_z") if n_files \
+    parts = keyed.repartitionByRange(n_files, "_z") if n_files is not None \
         else keyed.repartitionByRange("_z")
     return parts.sortWithinPartitions("_z").drop("_z")

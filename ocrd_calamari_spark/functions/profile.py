@@ -25,6 +25,15 @@ def profile_columns(
     and the per-column state a few KB.  Exact is the oracle-checkable
     default for audit-scale tables.
     """
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate column names: {cols}")
+    bad = [c for c in cols if "'" in c or "`" in c]
+    if bad:
+        # the stack() expression is built by interpolation; quote chars
+        # would break out of the literal/backtick context
+        raise ValueError(f"column names may not contain quotes: {bad}")
     distinct = F.countDistinct if exact else F.approx_count_distinct
     aggs = []
     for c in cols:
@@ -57,11 +66,17 @@ def hash_split(
 
     ``hash_sql``: SQL template with ``{t}`` = the id-as-string expression;
     default xxhash64 (fast); pass the portable md5 template when an
-    external system must reproduce the assignment.
+    external system must reproduce the assignment.  The expression MUST
+    map into [0, 100) (keep the ``pmod(..., 100)`` wrap) — values
+    outside the range match no threshold and would leave ``split`` NULL.
     """
     weights = weights or {"train": 98, "valid": 1, "test": 1}
     if sum(weights.values()) != 100:
         raise ValueError(f"split weights must sum to 100: {weights}")
+    if any(w <= 0 for w in weights.values()):
+        # a negative weight can still sum to 100 while silently making a
+        # later split unreachable (cumulative thresholds go non-monotone)
+        raise ValueError(f"split weights must all be positive: {weights}")
     # pmod, not abs(...) % — ANSI abs(Long.MIN_VALUE) overflows
     hash_sql = hash_sql or "pmod(xxhash64(cast({t} as string)), 100)"
     h = F.expr(hash_sql.format(t=id_col))

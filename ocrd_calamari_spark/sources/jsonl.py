@@ -41,9 +41,19 @@ def read_jsonl(
     parse (or violate the schema) come back with data columns null and
     the raw line preserved in ``_corrupt``.
     """
-    if not schema_ddl or CORRUPT_COL in schema_ddl:
+    if not schema_ddl:
+        raise ValueError("schema_ddl must be a non-empty DDL string")
+    # compare parsed FIELD NAMES, not a raw substring of the DDL — a
+    # legitimate column like `_corruption_score` contains the reserved
+    # name as a substring but does not collide with it
+    from pyspark.sql.types import StructType
+
+    if CORRUPT_COL in {
+        f.name for f in StructType.fromDDL(schema_ddl).fields
+    }:
         raise ValueError(
-            f"schema_ddl must be a non-empty DDL without {CORRUPT_COL!r}"
+            f"schema_ddl must not declare the reserved column "
+            f"{CORRUPT_COL!r}"
         )
     full = f"{schema_ddl}, {CORRUPT_COL} string"
     out = (
