@@ -77,6 +77,12 @@ def _decode_one(payload, backend: str):
     if magic not in _MAGICS:
         raise ValueError(f"unknown magic {magic!r}")
     a, b = struct.unpack(">II", bytes(payload[4:12]))
+    if a > 0x7FFFFFFF or b > 0x7FFFFFFF:
+        # DECODED_SCHEMA carries int32 dims; a uint32 header above 2^31-1
+        # would either wrap negative (Arrow unsafe cast, silent) or kill
+        # the whole task (safe cast) — surface it as this row's error
+        # instead, per the per-row error policy
+        raise ValueError(f"header dims out of int32 range: {a}x{b}")
     # deterministic pseudo-embedding: xxhash-free, numpy-only rolling bytes
     body = np.frombuffer(bytes(payload[12:]), dtype=np.uint8)
     if len(body) == 0:

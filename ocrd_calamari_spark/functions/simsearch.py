@@ -26,8 +26,39 @@ def _norm(a):
 
 
 def cosine(a, b):
-    """Cosine similarity of two array<numeric> columns, JVM-side."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two array<numeric> columns, JVM-side.
+
+    Zero-norm vectors (the common dead/missing-embedding sentinel) score
+    0.0, NOT NaN: Spark orders NaN ABOVE every double, so a raw 0/0
+    would rank an all-zero corpus vector FIRST for every query and pass
+    any ``>= threshold`` near-dup filter.  0.0 ranks it below all
+    positive matches and fails thresholds — and matches the numpy
+    scorers' convention (``_np_unit`` below)."""
+    d = _norm(a) * _norm(b)
+    return F.when(d > 0, _dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def _np_unit(M):
+    """Row-normalize a numpy matrix; zero rows stay zero (cosine 0.0
+    against everything — same convention as the JVM ``cosine``)."""
+    import numpy as np
+
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.where(n == 0, 1.0, n)
+
+
+def _topk_rows(scored: DataFrame, k: int, score_col: str, id_col: str,
+               query_id_col: str) -> DataFrame:
+    """Per-query top-k with the module-wide deterministic tie-break
+    (score desc, id asc) — the single definition all six retrieval paths
+    share, so ordering/NaN semantics cannot drift between them."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def brute_force_topk(
@@ -59,13 +90,7 @@ def brute_force_topk(
             F.col("_qvec").cast("array<double>"),
         ).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine_sim"), F.asc(id_col)  # deterministic tie-break
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _topk_rows(scored, k, "cosine_sim", id_col, query_id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -82,6 +107,14 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
 
 def lsh_signature(vec_col, planes) -> "F.Column":
     """Sign-bit signature of a vector against literal hyperplanes."""
+    if len(planes) > 63:
+        # JVM shiftleft masks the shift count to 6 bits: plane 64 would
+        # silently alias onto bit 0 and distinct signatures would collide
+        raise ValueError(
+            f"lsh_signature packs sign bits into one long: at most 63 "
+            f"planes per table (got {len(planes)}); use more tables "
+            f"(OR-construction) instead of wider signatures"
+        )
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = [
         F.when(
@@ -123,7 +156,7 @@ def brute_force_topk_pandas(
 
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _np_unit(Q)
     qids = qpdf[query_id_col].to_numpy()
 
     out_schema = f"{query_id_col} long, {id_col} long, cosine_sim double"
@@ -133,7 +166,7 @@ def brute_force_topk_pandas(
             if len(pdf) == 0:
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = _np_unit(M)
             sims = Mn @ Qn.T  # (batch, n_queries)
             top = min(k, len(pdf))
             ids = pdf[id_col].to_numpy()
@@ -148,13 +181,32 @@ def brute_force_topk_pandas(
             yield pd.DataFrame(rows, columns=[query_id_col, id_col, "cosine_sim"])
 
     scored = corpus.select(id_col, vec_col).mapInPandas(_score, out_schema)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine_sim"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _topk_rows(scored, k, "cosine_sim", id_col, query_id_col)
+
+
+def _sample_train(corpus: DataFrame, id_col: str, vec_col: str,
+                  train_rows: int, floor: int):
+    """Deterministic bounded training sample → driver numpy matrix.
+
+    Hash-sampled to ~``train_rows`` vectors regardless of corpus size
+    (modulus derived from a metadata-cheap count), id-ordered before
+    collect so the seeded init — and therefore the whole index — is
+    identical across runs/retries.  Shared by ivf_topk and pq_topk so
+    sampling fixes cannot drift between the two indexes."""
+    import numpy as np
+
+    n_corpus = corpus.count()
+    mod = max(1, n_corpus // max(train_rows, floor))
+    train = corpus
+    if mod > 1:
+        train = corpus.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        )
+    X = np.stack(
+        train.orderBy(id_col).select(vec_col).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    return _np_unit(X)
+
 
 
 def ivf_topk(
@@ -189,20 +241,7 @@ def ivf_topk(
     import pandas as pd
 
     # ---- train: bounded hash-sampled subset → driver, Lloyd iterations ----
-    n_corpus = corpus.count()
-    mod = max(1, n_corpus // max(train_rows, n_centroids))
-    train = corpus
-    if mod > 1:
-        train = corpus.where(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
-        )
-    # orderBy before collect: toPandas row order otherwise follows task
-    # completion order, which would make the seeded init — and therefore
-    # the whole index — vary across runs (resume/retry must reproduce it)
-    X = np.stack(
-        train.orderBy(id_col).select(vec_col).toPandas()[vec_col].to_numpy()
-    ).astype(np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = _sample_train(corpus, id_col, vec_col, train_rows, n_centroids)
     rng = np.random.RandomState(seed)
     C = Xn[rng.choice(len(Xn), size=min(n_centroids, len(Xn)), replace=False)]
     for _ in range(lloyd_iters):
@@ -220,7 +259,7 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = _np_unit(M)
             cell = np.argmax(Mn @ C.T, axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "_cell": cell.astype("int32")}
@@ -232,7 +271,7 @@ def ivf_topk(
     # ---- probe: n_probe nearest cells per query (driver-side, tiny) ----
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _np_unit(Q)
     probe_rows = []
     order = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]
     for qi, qid in enumerate(qpdf[query_id_col].to_numpy()):
@@ -257,13 +296,7 @@ def ivf_topk(
             ).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine_sim"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _topk_rows(scored, k, "cosine_sim", id_col, query_id_col)
 
 
 def pq_topk(
@@ -315,19 +348,7 @@ def pq_topk(
     import pandas as pd
 
     # ---- train codebooks: bounded sample → driver, per-subspace k-means ----
-    n_corpus = corpus.count()
-    mod = max(1, n_corpus // max(train_rows, n_centroids))
-    train = corpus
-    if mod > 1:
-        train = corpus.where(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
-        )
-    # orderBy before collect: toPandas row order follows task completion
-    # order — without it the init (and the whole index) varies run to run
-    X = np.stack(
-        train.orderBy(id_col).select(vec_col).toPandas()[vec_col].to_numpy()
-    ).astype(np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = _sample_train(corpus, id_col, vec_col, train_rows, n_centroids)
     dim = Xn.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -366,7 +387,7 @@ def pq_topk(
             if len(pdf) == 0:
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = _np_unit(M)
             codes = np.empty((len(Mn), m), dtype=np.int32)
             for mi in range(m):
                 S = Mn[:, mi * sub:(mi + 1) * sub]
@@ -383,7 +404,7 @@ def pq_topk(
     # ---- ADC tables: (query, subspace, centroid) dot products ----
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _np_unit(Q)
     qids = qpdf[query_id_col].to_numpy()
     nq = len(qids)
     T = np.zeros((nq, m, n_c))
@@ -420,19 +441,10 @@ def pq_topk(
     scored = codes_df.mapInPandas(
         _score, f"{query_id_col} long, {id_col} long, approx_score double"
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("approx_score"), F.asc(id_col)
-    )
     if not rerank:
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-        )
-    cand = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= keep)
-        .select(query_id_col, id_col)
-    )
+        return _topk_rows(scored, k, "approx_score", id_col, query_id_col)
+    cand = _topk_rows(scored, keep, "approx_score", id_col,
+                      query_id_col).select(query_id_col, id_col)
     vecs = corpus.select(id_col, F.col(vec_col).alias("_cvec"))
     qdf = F.broadcast(
         queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
@@ -445,13 +457,7 @@ def pq_topk(
             F.col("_qvec").cast("array<double>"),
         ).alias("cosine_sim"),
     )
-    w2 = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine_sim"), F.asc(id_col)
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-    )
+    return _topk_rows(exact, k, "cosine_sim", id_col, query_id_col)
 
 
 def embedding_near_dupes(
@@ -475,6 +481,12 @@ def embedding_near_dupes(
     stream through the verify joins, which broadcast the small candidate
     set (AQE).  At 10^9 rows the table-0 bucket becomes the physical
     bucket key.
+
+    The banded table is persisted (the pair self-join reads it twice);
+    the RETURNED frame's lineage pins that cache, so long-lived sessions
+    should ``spark.catalog.clearCache()`` after consuming the result —
+    the bench / oracle harnesses do (same contract as minhash_dedup and
+    pagerank).
     """
     from ocrd_calamari_spark.functions.dedup import _bucket_pairs
 
@@ -567,10 +579,4 @@ def lsh_topk(
             F.col("_qvec").cast("array<double>"),
         ).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine_sim"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _topk_rows(scored, k, "cosine_sim", id_col, query_id_col)

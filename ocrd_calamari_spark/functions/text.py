@@ -23,9 +23,16 @@ def token_count_sql(col: str = "text") -> str:
 
 
 def token_count(col) -> Column:
-    """Robust token count (Spark-side): split on whitespace runs."""
+    """Robust token count (Spark-side): split on whitespace runs.
+
+    Empty / whitespace-only text counts 0 (``split('')`` returns [''],
+    size 1 — the raw expression over-counts blank docs by one, which
+    would let them through min-length filters)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.split(F.trim(c), r"\s+"))
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -215,12 +222,19 @@ def packed_offsets(df, order_col: str, weight_col: str,
     """
     from pyspark.sql import Window
 
-    mx = df.agg(F.max(order_col).alias("m")).collect()[0]["m"]
-    if mx is None:  # empty input: zero rows, but keep the output schema
+    r = df.agg(F.min(order_col).alias("lo"),
+               F.max(order_col).alias("m")).collect()[0]
+    if r["m"] is None:  # empty input: zero rows, but keep the output schema
         return df.withColumn("_start_offset", F.lit(0).cast("long"))
-    width = max(1, (int(mx) + n_buckets) // n_buckets)
+    # width over the RANGE (max - min), not max alone: order values
+    # clustered far from zero (epoch-micros ids ~1.7e15) would otherwise
+    # all land in the last bucket and the within-bucket window becomes
+    # the single-task global sort this function exists to avoid
+    lo = int(r["lo"])
+    width = max(1, (int(r["m"]) - lo + n_buckets) // n_buckets)
     b = df.withColumn(
-        "_bkt", F.floor(F.col(order_col) / F.lit(width)).cast("long")
+        "_bkt",
+        F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width)).cast("long"),
     )
     subtotals = b.groupBy("_bkt").agg(
         F.sum(weight_col).cast("long").alias("_sub")
@@ -347,14 +361,18 @@ def bm25_scores(
     pairs pre-filtered to the query terms where possible; the corpus
     totals row is a broadcast cross-join.  Nothing quadratic, no Python.
     """
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    # dedupe while preserving order: a repeated term would silently sum
+    # its contribution twice (BM25 without a query-tf component)
+    terms = list(dict.fromkeys(terms))
     toks = _tokens(df, id_col, text_col)
     hits = toks.where(F.col("token").isin(list(terms)))
     tf = hits.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    dft = (
-        hits.select(id_col, "token").distinct()
-        .groupBy("token").agg(F.count("*").alias("df"))
-    )
+    # df derives from tf — one row per distinct (doc, token) already —
+    # instead of a second distinct+shuffle over the raw hits
+    dft = tf.groupBy("token").agg(F.count("*").alias("df"))
     tot = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("bigint") * F.lit(1.0) / F.count("*")).alias(

@@ -234,7 +234,14 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
             starts, lasts, ns = state.get
             sessions = [list(t) for t in zip(starts, lasts, ns)]
         if not state.hasTimedOut:
-            ts_all = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+            # drop NULL timestamps explicitly: the watermark predicate
+            # does not filter them, and NaT would otherwise become the
+            # -2^63 ns sentinel — a below-any-watermark "session" whose
+            # emit overflows the datetime range and kills the stream
+            ts_all = (
+                pd.concat([pdf["ts"] for pdf in pdfs])
+                .dropna().sort_values()
+            )
             for ts in ts_all:
                 t = int(pd.Timestamp(ts).value // 1000)
                 sessions.append([t, t, 1])
