@@ -46,7 +46,7 @@ def _paragraph(rng: random.Random, lang: str, n_sentences: int) -> str:
     return " ".join(_sentence(rng, lang, rng.randint(8, 14)) for _ in range(n_sentences))
 
 
-def _nav_html(rng: random.Random) -> str:
+def _nav_html() -> str:
     links = "".join(
         f'<li><a href="/s/{k}">menu item {k} with padding text</a></li>'
         for k in range(8)
@@ -63,7 +63,7 @@ def _footer_html() -> str:
             '<a href="/privacy">Privacy</a> · © example</p></footer>')
 
 
-def _link_farm(rng: random.Random, n: int = 16) -> str:
+def _link_farm(n: int = 16) -> str:
     items = " ".join(
         f'<a href="/t/{k}">tag link number {k}</a>' for k in range(n)
     )
@@ -92,9 +92,9 @@ def _page_html(rng: random.Random, lang: str, case: str, idx: int) -> bytes:
         )
         paras.append(linky)
 
-    body_parts = [_nav_html(rng)]
+    body_parts = [_nav_html()]
     if case == "boilerplate":
-        body_parts += [_link_farm(rng), _link_farm(rng, 20)]
+        body_parts += [_link_farm(), _link_farm(20)]
         paras = paras[:1]  # thin content wrapped in heavy boilerplate
     body_parts.append("<article><h1>" + title + "</h1>")
     body_parts += [f"<p>{p}</p>" for p in paras]
@@ -133,7 +133,7 @@ def _host_for(rng: random.Random) -> int:
     return 1 + min(48, int(49 * r * r))
 
 
-def case_for(i: int, rng: random.Random) -> str:
+def case_for(rng: random.Random) -> str:
     r = rng.random()
     for case, w in zip(CASES, _CASE_W):
         if r < w:
@@ -151,7 +151,7 @@ def gen_pages(n: int, seed: int = SEED, big_page_every: int = 0) -> pd.DataFrame
     rows = []
     for i in range(n):
         lang = _LANGS[i % 3]
-        case = case_for(i, rng)
+        case = case_for(rng)
         host = _host_for(rng)
         url = f"https://host{host:02d}.example/p/{i:06d}"
         ts = _BASE_TS + timedelta(days=i % 30, seconds=i % 86400)

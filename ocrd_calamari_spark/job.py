@@ -59,6 +59,12 @@ def parse_args(argv):
     args = p.parse_args(argv)
     if args.compact_files < 1:
         p.error("--compact-files must be >= 1")
+    if args.buckets < 1:
+        # --buckets 0 would run zero work units yet report complete:true
+        # and exit 0 — a scheduler would mark the no-op job succeeded
+        p.error("--buckets must be >= 1")
+    if args.chunks < 1:
+        p.error("--chunks must be >= 1")
     return args
 
 

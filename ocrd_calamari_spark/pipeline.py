@@ -73,8 +73,7 @@ def read_pages(
 DEFAULT_SALT = 16  # sub-buckets per host for skew spreading
 
 
-def _map_fn_with_lineage(cfg: ExtractConfig, snapshot_id: int | None,
-                         accs: dict | None = None):
+def _map_fn_with_lineage(cfg: ExtractConfig, accs: dict | None = None):
     """mapInPandas fn: extraction + lineage passthrough.
 
     Lineage columns (_src_file, _part_id) ride along the input batch and are
@@ -92,7 +91,6 @@ def _map_fn_with_lineage(cfg: ExtractConfig, snapshot_id: int | None,
     def _fn(batches):
         for pdf in batches:
             out = extract_batch(pdf, cfg)
-            n = len(pdf)
             # columnar passthrough: numpy arrays assigned whole — the
             # struct (incl. the constant snapshot_id) is assembled
             # JVM-side in extract_df, not per-row in Python
@@ -198,7 +196,7 @@ def extract_df(
         else:
             sel = sel.repartition(host, salt_col)
     mapped = sel.mapInPandas(
-        _map_fn_with_lineage(cfg, snapshot_id, accumulators),
+        _map_fn_with_lineage(cfg, accumulators),
         FLAT_OUTPUT_SCHEMA,
     )
     out_cols = [f.name for f in OUTPUT_SCHEMA.fields if f.name != "lineage"]
@@ -220,6 +218,12 @@ def extract_df(
 # only after the write succeeds; a restart deletes uncommitted chunk dirs
 # and processes only the remaining buckets — no duplicate work.
 # ---------------------------------------------------------------------------
+def _w(v) -> str:
+    """Canonical string form of a since/until bound for manifest
+    comparison (None → 'none'; datetimes/strings → str)."""
+    return "none" if v is None else str(v)
+
+
 class Manifest:
     def __init__(self, root: str):
         self.dir = os.path.join(root, "_manifest")
@@ -240,7 +244,18 @@ class Manifest:
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(rec, f)
+            # fsync BEFORE the rename: without it a power loss can leave
+            # the renamed name pointing at zero-length/torn content
+            # (rename-atomicity covers the namespace, not the data),
+            # which would make every later resume die in json.load
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)  # atomic on POSIX ≈ Iceberg snapshot commit
+        dfd = os.open(self.dir, os.O_RDONLY)  # make the rename durable too
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
 
 def run_extraction(
@@ -303,6 +318,26 @@ def run_extraction(
                 f"resume mismatch: manifest pinned snapshot {rec_snap}, "
                 f"run requested {snapshot_id}"
             )
+        # same-corpus guard: a resume against a different source path or
+        # time window would pass every bucketing check yet MIX corpora —
+        # half the buckets from the old input, half from the new, with
+        # complete=True at the end.  (since/until are compared as strings
+        # — the same literal the predicate was built from.)
+        rec_src = rec.get("source")
+        if rec_src is not None and rec_src != source:
+            raise ValueError(
+                f"resume mismatch: manifest written from source "
+                f"{rec_src!r}, run requested {source!r}"
+            )
+        window = {"since": _w(since), "until": _w(until)}
+        for key, want in window.items():
+            got = rec.get(key)
+            if got is not None and got != want:
+                raise ValueError(
+                    f"resume mismatch: manifest written with {key}={got!r}, "
+                    f"run requested {want!r} — completed buckets would "
+                    f"cover a different time window"
+                )
     done_parts = {p for rec in done.values() for p in rec["part_ids"]}
 
     data_dir = os.path.join(out_dir, "data")
@@ -373,23 +408,31 @@ def run_extraction(
         result.write.mode("overwrite").option(
             "compression", OUTPUT_COMPRESSION
         ).parquet(chunk_dir)
-        # cheap committed-output scan for exact counters (column-pruned)
-        committed = spark.read.parquet(chunk_dir)
-        counts = committed.agg(
-            F.count("*").alias("rows"),
-            F.sum(F.col("error").isNotNull().cast("long")).alias("failed"),
-            F.sum(F.col("overwrote").cast("long")).alias("overwrote"),
-            F.sum(F.col("raw_charset").cast("long")).alias("raw"),
-        ).collect()[0]
+        # exact counters + per-file lineage ranges in ONE column-pruned
+        # scan of the committed chunk (a separate global agg would read
+        # the chunk twice per commit — on the crash-window-critical path
+        # between write and manifest commit)
+        per_file = (
+            spark.read.parquet(chunk_dir)
+            .groupBy(F.col("lineage.file").alias("file"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.col("error").isNotNull().cast("long"))
+                .alias("failed"),
+                F.sum(F.col("overwrote").cast("long")).alias("overwrote"),
+                F.sum(F.col("raw_charset").cast("long")).alias("raw"),
+                F.min("lineage.row_index").alias("lo"),
+                F.max("lineage.row_index").alias("hi"),
+            )
+            .collect()
+        )
         # per-file row ranges — the "(snapshot-id, file, row-range)"
         # lineage record the north_star requires per completed partition
         file_ranges = [
             {"file": r["file"], "row_lo": r["lo"], "row_hi": r["hi"]}
-            for r in committed.groupBy(F.col("lineage.file").alias("file"))
-            .agg(F.min("lineage.row_index").alias("lo"),
-                 F.max("lineage.row_index").alias("hi"))
-            .collect()
+            for r in per_file
         ]
+        chunk_rows = sum(r["rows"] for r in per_file)
         manifest.commit(
             {
                 "chunk_id": chunk_id,
@@ -397,15 +440,17 @@ def run_extraction(
                 "n_buckets": n_buckets,
                 "bucket_scheme": bucket_scheme,
                 "source": source,
+                "since": _w(since),
+                "until": _w(until),
                 "snapshot_id": snapshot_id,
-                "rows": counts["rows"],
-                "failed": counts["failed"] or 0,
-                "overwrote": counts["overwrote"] or 0,
-                "raw_charset": counts["raw"] or 0,
+                "rows": chunk_rows,
+                "failed": sum(r["failed"] or 0 for r in per_file),
+                "overwrote": sum(r["overwrote"] or 0 for r in per_file),
+                "raw_charset": sum(r["raw"] or 0 for r in per_file),
                 "files": file_ranges,
             }
         )
-        n_rows_total += counts["rows"]
+        n_rows_total += chunk_rows
         chunks_done += 1
 
     elapsed = time.monotonic() - t0
@@ -437,14 +482,29 @@ def validate_output(spark: SparkSession, out_dir: str) -> dict:
     parquet count() is footer metadata, no row data is read).
 
     Returns {"chunks", "rows", "mismatches": {chunk_id: (manifest,
-    actual)}, "missing": [chunk_id...], "ok"}.
+    actual)}, "missing": [chunk_id...], "orphans": [chunk_id...], "ok"}.
+
+    ``orphans``: chunk dirs on disk with NO manifest record — the exact
+    artifact a crash between parquet write and manifest commit leaves
+    behind.  read_output would serve their (possibly partial) rows even
+    though no record accounts for them; run_extraction cleans them on
+    resume, but a standalone audit must surface them, not pass them.
     """
+    from pyspark.errors import AnalysisException
+
     manifest = Manifest(out_dir)
     data_dir = os.path.join(out_dir, "data")
     mismatches: dict[int, tuple[int, int]] = {}
     missing: list[int] = []
     total = 0
     recs = manifest.completed()
+    orphans = sorted(
+        int(name.split("=", 1)[1])
+        for name in (os.listdir(data_dir) if os.path.isdir(data_dir) else [])
+        if name.startswith("chunk=")
+        and name.split("=", 1)[1].isdigit()
+        and int(name.split("=", 1)[1]) not in recs
+    )
     for cid, rec in recs.items():
         chunk_dir = os.path.join(data_dir, "chunk=%d" % cid)
         if not os.path.isdir(chunk_dir):
@@ -452,9 +512,12 @@ def validate_output(spark: SparkSession, out_dir: str) -> dict:
             continue
         try:
             actual = spark.read.parquet(chunk_dir).count()
-        except Exception:
+        except AnalysisException:
             # a dir whose every data file vanished is unreadable —
-            # that IS the loss this audit exists to catch, not a crash
+            # that IS the loss this audit exists to catch.  Anything
+            # else (dead session, permissions, transient FS) re-raises:
+            # reporting an infrastructure failure as 100% data loss
+            # would trigger needless re-extraction
             actual = 0
         total += actual
         if actual != rec["rows"]:
@@ -464,7 +527,8 @@ def validate_output(spark: SparkSession, out_dir: str) -> dict:
         "rows": total,
         "mismatches": mismatches,
         "missing": missing,
-        "ok": not mismatches and not missing,
+        "orphans": orphans,
+        "ok": not mismatches and not missing and not orphans,
     }
 
 

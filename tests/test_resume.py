@@ -333,3 +333,64 @@ class TestCompaction:
         assert out.select("url").distinct().count() == n0
         assert not os.path.isdir(tmp0) and not os.path.isdir(tmp1)
         assert dict(out.dtypes).get("url") == "string"
+
+
+class TestResumeCorpusGuards:
+    def test_resume_with_different_source_raises(self, spark, pages_parquet,
+                                                 tmp_path_factory, pages_pdf):
+        """A resume pointed at a DIFFERENT source path must refuse: the
+        bucketing checks all pass, so without the guard the output would
+        silently mix corpora (half old buckets, half new) and still
+        report complete."""
+        import os
+
+        from ocrd_calamari_spark.gen import write_pages_parquet
+
+        d = str(tmp_path_factory.mktemp("srcguard"))
+        run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
+                       stop_after_chunks=1)
+        other = os.path.join(str(tmp_path_factory.mktemp("othersrc")),
+                             "pages.parquet")
+        write_pages_parquet(pages_pdf, other)
+        with pytest.raises(ValueError, match="source"):
+            run_extraction(spark, other, d, n_buckets=8, n_chunks=4)
+
+    def test_resume_with_different_window_raises(self, spark, pages_parquet,
+                                                 tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("winguard"))
+        run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
+                       stop_after_chunks=1, since="2024-01-01")
+        with pytest.raises(ValueError, match="since"):
+            run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
+                           since="2024-02-01")
+
+    def test_orphan_chunk_dir_fails_the_audit(self, spark, pages_parquet,
+                                              tmp_path_factory):
+        """A chunk dir with no manifest record (the crash artifact between
+        parquet write and manifest commit) must FAIL validate_output —
+        read_output would serve its rows while no record accounts for
+        them."""
+        import os
+        import shutil
+
+        from ocrd_calamari_spark.pipeline import validate_output
+
+        d = str(tmp_path_factory.mktemp("orphan"))
+        m = run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=2)
+        assert m["complete"]
+        # forge the crash artifact: copy a committed chunk to an
+        # uncommitted id
+        src = os.path.join(d, "data", "chunk=0")
+        shutil.copytree(src, os.path.join(d, "data", "chunk=99"))
+        rep = validate_output(spark, d)
+        assert rep["orphans"] == [99] and not rep["ok"]
+
+    def test_cli_rejects_zero_buckets(self):
+        import pytest as _pytest
+
+        from ocrd_calamari_spark.job import parse_args
+
+        base = ["--source", "x", "--out", "y"]
+        for extra in (["--buckets", "0"], ["--chunks", "0"]):
+            with _pytest.raises(SystemExit):
+                parse_args(base + extra)
