@@ -102,10 +102,23 @@ def steal_during(fn):
     return out, d[7] / max(sum(d), 1)
 
 
-# Quiet-box single-thread copy bandwidth (measured 16-18 GB/s on this VM);
-# seeds the degraded-bus gate so a contended FIRST probe can't anchor the
-# threshold.  Override per machine via env.
-MEMBW_REF = float(os.environ.get("SPARK_GRAFT_MEMBW_REF", "15.0"))
+# Optional per-machine override for the degraded-bus gate reference; when
+# unset the reference is DERIVED at bench start (max of N probes) so the
+# gate self-calibrates to the box.  A fixed constant here (the old 15 GB/s)
+# would make EVERY leg fail the 0.6× gate on a host whose genuine quiet
+# bandwidth is below 9 GB/s, silently burning the full retry budget.
+MEMBW_REF = os.environ.get("SPARK_GRAFT_MEMBW_REF")
+
+
+def derive_membw_ref(probes: int = 3) -> float:
+    """Reference bandwidth for the degraded-bus gate: the env override if
+    given, else the max of ``probes`` samples taken now — max because any
+    single probe can read LOW under contention, never high, so the best
+    sample is the closest available estimate of the quiet-box rate (the
+    same reasoning as seeding best_membw before each gated loop)."""
+    if MEMBW_REF is not None:
+        return float(MEMBW_REF)
+    return max(membw_probe_gbps() for _ in range(probes))
 
 
 def membw_probe_gbps(size_mb: int = 256, passes: int = 3) -> float:
@@ -227,7 +240,9 @@ def main():
         ext_sec = n_docs = None
         ext_steal = 1.0
         ext_membw = 0.0
-        best_membw = MEMBW_REF
+        ref_membw = derive_membw_ref()
+        best_membw = ref_membw
+        gate_ok = False
         for _ in range(3):
             wait_for_quiet_box()
             # probe the bus BEFORE and AFTER the leg and gate on the min:
@@ -246,7 +261,13 @@ def main():
             # retry under host steal OR a degraded memory bus (both are
             # host-state measurements, never the throughput outcome)
             if steal <= 0.08 and membw >= 0.6 * best_membw:
+                gate_ok = True
                 break
+        if not gate_ok:
+            print("WARN: extraction host-state gate never passed "
+                  f"(kept leg: steal={ext_steal:.3f}, membw={ext_membw:.1f} "
+                  f"vs ref {best_membw:.1f} GB/s) — result is best-effort",
+                  file=sys.stderr)
         results["extract_pages"] = round(ext_sec, 3)
         docs_per_sec = round(n_docs / ext_sec, 1)
         # untimed warm pass at the smallest sf: compiles/JITs every query's
@@ -303,7 +324,7 @@ def main():
             n_scale = 0
             pre_busy = []
             attempts = 0
-            best_membw = MEMBW_REF
+            best_membw = ref_membw
             max_attempts = 2 * TRIALS + 2
             while len(pairs) < TRIALS and attempts < max_attempts:
                 attempts += 1
@@ -345,9 +366,13 @@ def main():
                 # measured under >8% steal or a >40%-degraded bus probe
                 # is re-run (bounded attempts, filtered on host-state
                 # MEASUREMENTS, never on the efficiency outcome).
-                if (steal_max > 0.08 or membw_min < 0.6 * best_membw) \
-                        and attempts < max_attempts:
-                    continue
+                if steal_max > 0.08 or membw_min < 0.6 * best_membw:
+                    if attempts < max_attempts:
+                        continue
+                    print(f"WARN: scaling pair accepted UNGATED after "
+                          f"{attempts} attempts (steal={steal_max:.3f}, "
+                          f"membw={membw_min:.1f} vs ref "
+                          f"{best_membw:.1f} GB/s)", file=sys.stderr)
                 pairs.append(pair)
             pairs.sort(key=lambda p: p["eff"])
             med = pairs[len(pairs) // 2]
@@ -358,6 +383,7 @@ def main():
             s.sparkContext.setLogLevel("ERROR")
             warm(s, corpus_dir, CPUS)
             sec_max = None
+            ceiling_ok = False
             for _ in range(3):
                 wait_for_quiet_box()
                 membw_pre = membw_probe_gbps()
@@ -369,7 +395,11 @@ def main():
                 best_membw = max(best_membw, membw)
                 sec_max = sec if sec_max is None else min(sec_max, sec)
                 if steal <= 0.08 and membw >= 0.6 * best_membw:
+                    ceiling_ok = True
                     break
+            if not ceiling_ok:
+                print("WARN: ceiling-leg host-state gate never passed — "
+                      "docs_per_sec_max is best-effort", file=sys.stderr)
             s.stop()
             scaling = {
                 "cores_lo": lo_cores,

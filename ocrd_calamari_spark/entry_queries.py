@@ -1753,7 +1753,13 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor, url) counts plus a domain-cardinality self-join (AQE
     broadcasts the top-text side).  The composite first-level key also
     splits a hot target across its text/source variants — the same
-    pre-aggregation shape as salted_agg."""
+    pre-aggregation shape as salted_agg.
+
+    Cache contract: the returned frame's lineage pins the persisted
+    per-(target, anchor, url) table, so long-lived sessions should
+    ``spark.catalog.clearCache()`` after consuming the result — the
+    bench / oracle harnesses do (same contract as minhash_dedup,
+    embedding_near_dupes and pagerank)."""
     pages = pages_from_documents(spark, sf_dir)
     anchors = pages.select(
         "url",

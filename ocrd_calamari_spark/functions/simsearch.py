@@ -108,8 +108,11 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
 def lsh_signature(vec_col, planes) -> "F.Column":
     """Sign-bit signature of a vector against literal hyperplanes."""
     if len(planes) > 63:
-        # JVM shiftleft masks the shift count to 6 bits: plane 64 would
-        # silently alias onto bit 0 and distinct signatures would collide
+        # JVM shiftleft masks the shift count to 6 bits, so shifts 0-63
+        # are all valid and aliasing only starts at a 65th plane (shift
+        # 64 → masked to 0).  The cap is one stricter on purpose: it
+        # keeps bit 63 — the long's sign bit — out of signatures, so
+        # they stay non-negative (sorting/printing/partition-key sanity)
         raise ValueError(
             f"lsh_signature packs sign bits into one long: at most 63 "
             f"planes per table (got {len(planes)}); use more tables "

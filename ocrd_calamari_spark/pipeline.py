@@ -220,8 +220,21 @@ def extract_df(
 # ---------------------------------------------------------------------------
 def _w(v) -> str:
     """Canonical string form of a since/until bound for manifest
-    comparison (None → 'none'; datetimes/strings → str)."""
-    return "none" if v is None else str(v)
+    comparison: None → 'none'; anything timestamp-parseable →
+    'YYYY-MM-DD HH:MM:SS[.ffffff]' via pandas, so semantically identical
+    bounds of different types (datetime(2024,1,1) vs '2024-01-01')
+    compare EQUAL on resume instead of raising a spurious mismatch;
+    unparseable values fall back to str(v).  The resume guard also runs
+    the manifest-recorded side through this, so manifests written before
+    the canonicalization still compare correctly."""
+    if v is None:
+        return "none"
+    try:
+        import pandas as pd
+
+        return str(pd.Timestamp(v))
+    except Exception:
+        return str(v)
 
 
 class Manifest:
@@ -321,8 +334,9 @@ def run_extraction(
         # same-corpus guard: a resume against a different source path or
         # time window would pass every bucketing check yet MIX corpora —
         # half the buckets from the old input, half from the new, with
-        # complete=True at the end.  (since/until are compared as strings
-        # — the same literal the predicate was built from.)
+        # complete=True at the end.  (since/until compare through _w's
+        # canonical timestamp form, so equivalent bounds of different
+        # types match and only a genuinely different window raises.)
         rec_src = rec.get("source")
         if rec_src is not None and rec_src != source:
             raise ValueError(
@@ -332,7 +346,7 @@ def run_extraction(
         window = {"since": _w(since), "until": _w(until)}
         for key, want in window.items():
             got = rec.get(key)
-            if got is not None and got != want:
+            if got is not None and _w(got) != want:
                 raise ValueError(
                     f"resume mismatch: manifest written with {key}={got!r}, "
                     f"run requested {want!r} — completed buckets would "

@@ -364,6 +364,20 @@ class TestResumeCorpusGuards:
             run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
                            since="2024-02-01")
 
+    def test_resume_with_equivalent_window_type_passes(
+            self, spark, pages_parquet, tmp_path_factory):
+        """A semantically identical bound of a different type (datetime
+        vs its string literal) must NOT trip the window guard — bounds
+        compare through a canonical timestamp form (ADVICE r03)."""
+        from datetime import datetime
+
+        d = str(tmp_path_factory.mktemp("wineq"))
+        run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
+                       stop_after_chunks=1, since="2024-01-01")
+        m = run_extraction(spark, pages_parquet, d, n_buckets=8, n_chunks=4,
+                           since=datetime(2024, 1, 1))
+        assert m["complete"]
+
     def test_orphan_chunk_dir_fails_the_audit(self, spark, pages_parquet,
                                               tmp_path_factory):
         """A chunk dir with no manifest record (the crash artifact between
