@@ -2945,6 +2945,66 @@ FROM documents
 """
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training support: the first BPE merge iteration — corpus
+    top-50 adjacent character-pair frequencies inside whitespace tokens.
+    Pure map + alphabet-sized aggregation; TakeOrdered top-k."""
+    from ocrd_calamari_spark.functions.text import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+BPE_PAIR_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, strlen(tok)),
+                               i -> substr(tok, CAST(i AS INTEGER), 2)))
+         AS pair
+  FROM toks WHERE strlen(tok) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+"""
+
+
+def q_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-design support: per-source χ² divergence of unigram
+    distributions vs the corpus (closed-form absent-token mass — only
+    present (domain, token) pairs shuffle; quantized-decimal sum is
+    order-independent, hence partitioning-invariant AND hash-exact)."""
+    from ocrd_calamari_spark.functions.text import domain_divergence
+
+    return domain_divergence(_t(spark, sf_dir, "documents"))
+
+
+DOMAIN_DIVERGENCE_SQL = r"""
+WITH toks AS (
+  SELECT source AS domain,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), cs AS (SELECT domain, tok, count(*) AS c_s FROM toks GROUP BY 1, 2),
+ns AS (SELECT domain, count(*) AS n_s FROM toks GROUP BY 1),
+c AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n FROM toks),
+terms AS (
+  SELECT cs.domain,
+         CAST(floor(((
+            (CAST(c_s AS DOUBLE)/CAST(n_s AS DOUBLE)
+             - CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+          * (CAST(c_s AS DOUBLE)/CAST(n_s AS DOUBLE)
+             - CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+          / (CAST(c AS DOUBLE)/CAST(n AS DOUBLE)))
+          - CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) * 1e12 + 5e-1)
+         AS DECIMAL(38,0)) AS q
+  FROM cs JOIN ns USING (domain) JOIN c USING (tok) CROSS JOIN n
+)
+SELECT domain, CAST(1e0 + CAST(SUM(q) AS DOUBLE) / 1e12 AS DOUBLE) AS chi2
+FROM terms GROUP BY domain ORDER BY domain
+"""
+
+
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash shingle fingerprints (content-defined-chunking
     primitive) on the cross-engine md5 hash → fully DuckDB-oracled."""
@@ -3352,7 +3412,10 @@ QUERIES = {
     "cosine_topk_pandas": q_cosine_topk_pandas,
     "embedding_near_dupes": q_embedding_near_dupes,
     # --- new this round: driver-checkable golden byte-identity certificate
+    # plus two beyond-reference pipeline ops (tokenizer/mixture support)
     "extract_golden_diff": q_extract_golden_diff,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "domain_divergence": q_domain_divergence,
     # --- extraction family (rows-only by nature; golden contract above)
     "extract_pages": q_extract_pages,
     "extract_word_spans": q_extract_word_spans,
@@ -3410,6 +3473,8 @@ QUERIES = {
 
 ORACLES = {
     "extract_golden_diff": GOLDEN_DIFF_SQL,
+    "bpe_pair_counts": BPE_PAIR_SQL,
+    "domain_divergence": DOMAIN_DIVERGENCE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

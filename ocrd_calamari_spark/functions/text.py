@@ -514,3 +514,90 @@ def strip_boilerplate_lines(
             ).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-training + mixture-design support (beyond-reference ops for the
+# 100 TB training-data pipeline; both all-JVM, DuckDB-oracled).
+# ---------------------------------------------------------------------------
+def bpe_pair_counts(df, text_col: str = "text", top_k: int = 50):
+    """First BPE-training iteration: corpus-wide frequencies of adjacent
+    character pairs inside whitespace tokens, top-k by count (the pair a
+    BPE trainer would merge first is row one).
+
+    Scale shape: one pure map (token explode → char-bigram explode — no
+    joins, nothing but the bigram strings move), then a groupBy over the
+    pair alphabet: at most |charset|² distinct keys, so map-side partial
+    aggregation collapses the exchange to alphabet size regardless of
+    corpus size.  Top-k via orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heaps, no global sort).  Deterministic tie-break
+    (count desc, pair asc).
+    """
+    toks = df.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok")
+    )
+    pairs = toks.where(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_k)
+    )
+
+
+def domain_divergence(df, domain_col: str = "source",
+                      text_col: str = "text"):
+    """χ² divergence of each domain's unigram distribution from the
+    corpus distribution — the data-mixing design signal (which sources'
+    token statistics deviate most → mixture re-weighting / quality
+    triage; complements temperature_mix, which consumes such weights).
+
+    χ² = Σ_t (p_d(t) − p(t))² / p(t) over the corpus vocabulary.  The
+    absent-token mass is folded in closed form — Σ_{t∉d} p(t) equals
+    1 − Σ_{t∈d} p(t), so χ² = 1 + Σ_{t∈d} [(p_d−p)²/p − p] — which means
+    only PRESENT (domain, token) pairs ever shuffle: no dense
+    vocab×domain outer join at web scale.  The corpus totals are a
+    broadcast 1-row table; per-token terms are IEEE-deterministic
+    (each a fixed dag of casts/divides both engines reproduce bitwise)
+    and floor-quantized to 1e-12 BEFORE the sum, which runs in
+    DECIMAL(38,0) — exact and order-independent, so the result is
+    partitioning-invariant AND DuckDB-hash-exact.
+    """
+    toks = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    )
+    cs = toks.groupBy("domain", "tok").agg(F.count("*").alias("c_s"))
+    ns = toks.groupBy("domain").agg(F.count("*").alias("n_s"))
+    c = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("n"))
+    j = cs.join(ns, "domain").join(c, "tok").crossJoin(F.broadcast(n))
+    _p = "cast(c as double)/cast(n as double)"
+    _ps = "cast(c_s as double)/cast(n_s as double)"
+    term = f"(({_ps} - {_p}) * ({_ps} - {_p}) / ({_p})) - {_p}"
+    q = j.select(
+        "domain",
+        F.expr(
+            f"cast(floor(({term}) * 1e12 + 5e-1) as decimal(38,0))"
+        ).alias("q"),
+    )
+    return (
+        q.groupBy("domain")
+        .agg(
+            F.expr(
+                "cast(1e0 + cast(sum(q) as double) / 1e12 as double)"
+            ).alias("chi2")
+        )
+        .orderBy("domain")
+    )

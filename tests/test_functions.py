@@ -241,6 +241,54 @@ class TestRankedRetrieval:
         assert got[1] > got[0]
 
 
+class TestTokenizerMixtureOps:
+    def test_bpe_pair_counts_matches_python(self, spark):
+        from collections import Counter
+
+        from ocrd_calamari_spark.functions.text import bpe_pair_counts
+
+        rows = [(0, "Banana band"), (1, "an  anvil a"), (2, "NA na!")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = [(r.pair, r.n) for r in bpe_pair_counts(df, top_k=5).collect()]
+        want = Counter()
+        for _, tx in rows:
+            for tok in tx.strip().lower().split():
+                if len(tok) >= 2:
+                    for i in range(len(tok) - 1):
+                        want[tok[i:i + 2]] += 1
+        top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert got == top
+        assert got[0] == ("an", 5)  # banana:2 band:1 an:1 anvil:1
+
+    def test_domain_divergence_matches_python(self, spark):
+        from collections import Counter
+
+        from ocrd_calamari_spark.functions.text import domain_divergence
+
+        rows = [("a", 1, "x x y"), ("a", 2, "x z"),
+                ("b", 3, "y y y z"), ("c", 4, "w w w w")]
+        df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+        got = {r.domain: r.chi2 for r in domain_divergence(df).collect()}
+        toks = [(s, t) for s, _, tx in rows for t in tx.split()]
+        n = len(toks)
+        corpus = Counter(t for _, t in toks)
+        import math
+        want = {}
+        for dom in {s for s, _ in toks}:
+            mine = Counter(t for s, t in toks if s == dom)
+            n_s = sum(mine.values())
+            # same closed form + quantized sum as the engine
+            qsum = 0
+            for t, c_s in mine.items():
+                p, ps = corpus[t] / n, c_s / n_s
+                qsum += math.floor(((ps - p) * (ps - p) / p - p) * 1e12 + 0.5)
+            want[dom] = 1.0 + qsum / 1e12
+        assert got == pytest.approx(want, abs=1e-12)
+        # a domain identical to the corpus distribution scores ~the
+        # residual only; the disjoint-vocab domain ('c') scores highest
+        assert got["c"] == max(got.values())
+
+
 class TestProfileAndSplit:
     def test_profile_counts_nulls_and_distincts(self, spark):
         from ocrd_calamari_spark.functions.profile import profile_columns
