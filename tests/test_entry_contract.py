@@ -13,7 +13,8 @@ FAST_ORACLED = ["filter_project", "topk_per_lang", "join_revenue",
                 "token_stats", "lang_id", "salted_agg", "json_extract",
                 "decode_media", "resize_images", "frame_plan",
                 "exact_dup_groups", "repetition_quality", "decontaminate",
-                "domain_quota", "incremental_dedup"]
+                "domain_quota", "incremental_dedup", "bpe_pair_counts",
+                "domain_divergence", "inverted_index"]
 
 
 @pytest.fixture(scope="module")
