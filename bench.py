@@ -338,18 +338,30 @@ def main():
                     s = make_session(cores)
                     s.sparkContext.setLogLevel("ERROR")
                     warm(s, corpus_dir, cores)
-                    # bus probes are point samples (steal is measured
-                    # ACROSS the leg): bracket the leg and keep the min
-                    # so a burst starting mid-leg still trips the gate
-                    membw_pre = membw_probe_gbps()
 
                     def _leg(s=s, cores=cores):
                         return time_extraction(s, corpus_dir, cores,
                                                repartition=False)
 
-                    (sec, n_scale), steal = steal_during(_leg)
-                    membw = min(membw_pre, membw_probe_gbps())
-                    best_membw = max(best_membw, membw)
+                    # best-of-2 per leg: a short host burst fully inside
+                    # one timing (recovered before the post-probe, too
+                    # brief to move leg-average steal past the gate) is
+                    # invisible to every host-state measurement — but it
+                    # can only INFLATE a timing, so the min of two
+                    # back-to-back runs is the honest uncontended
+                    # estimate (same monotonicity argument as the
+                    # steal-retry policy).  Host-state telemetry is kept
+                    # from the KEPT (faster) run.
+                    sec = None
+                    for _rep in range(2):
+                        # bus probes are point samples (steal is measured
+                        # ACROSS the leg): bracket the leg, keep the min
+                        membw_pre = membw_probe_gbps()
+                        (sec_i, n_scale), steal_i = steal_during(_leg)
+                        membw_i = min(membw_pre, membw_probe_gbps())
+                        best_membw = max(best_membw, membw_i)
+                        if sec is None or sec_i < sec:
+                            sec, steal, membw = sec_i, steal_i, membw_i
                     membw_min = membw if membw_min is None \
                         else min(membw_min, membw)
                     steal_max = max(steal_max, steal)
@@ -366,7 +378,12 @@ def main():
                 # measured under >8% steal or a >40%-degraded bus probe
                 # is re-run (bounded attempts, filtered on host-state
                 # MEASUREMENTS, never on the efficiency outcome).
-                if steal_max > 0.08 or membw_min < 0.6 * best_membw:
+                # pair gate is TIGHTER than the single-leg gates (0.05 vs
+                # 0.08 steal): efficiency is a RATIO of two legs, so a
+                # sub-gate burst on one side skews it twice as hard as it
+                # skews either absolute number (run2 round 4: a 7%-steal
+                # pair passed at 0.08 and recorded eff 0.72)
+                if steal_max > 0.05 or membw_min < 0.6 * best_membw:
                     if attempts < max_attempts:
                         continue
                     print(f"WARN: scaling pair accepted UNGATED after "
