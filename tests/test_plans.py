@@ -236,6 +236,23 @@ class TestNewOperatorPlans:
         qplan = plan_of(q_inverted_index(spark, SF), "simple")
         assert f"<= {_INDEX_MAX_DF}" in qplan
 
+    def test_bpe_pairs_take_ordered_and_divergence_broadcasts(self, spark):
+        """bpe_pair_counts' top-k must compile to TakeOrderedAndProject
+        (per-partition heaps — no global sort of the pair table);
+        domain_divergence's corpus totals must ride a broadcast (the
+        1-row cross join must never shuffle the present-pairs side)."""
+        from ocrd_calamari_spark.functions.text import (
+            bpe_pair_counts,
+            domain_divergence,
+        )
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        bplan = plan_of(bpe_pair_counts(d), "simple")
+        assert "TakeOrderedAndProject" in bplan
+        dplan = plan_of(domain_divergence(d), "simple")
+        assert "BroadcastNestedLoopJoin" in dplan or "BroadcastExchange" in dplan
+        assert "CartesianProduct" not in dplan
+
     def test_zorder_layout_is_range_partitioned(self, spark):
         """The layout write must be a RANGE exchange on the Morton key
         (balanced files even under skew), with the key itself evaluated
