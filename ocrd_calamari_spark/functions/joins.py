@@ -180,3 +180,30 @@ def salted_join(
     return f.join(d, cond, how).select(
         *[f[c] for c in skewed.columns], *[d[c] for c in dim.columns]
     )
+
+
+def write_bucketed_table(df: DataFrame, name: str, path: str,
+                         n_buckets: int, key: str,
+                         sort_by: str | None = None) -> None:
+    """Persist ``df`` as a Spark BUCKETED table (``bucketBy`` +
+    ``sortBy`` + ``saveAsTable``, external at ``path``) — the co-located
+    join layout for repeated big-big joins on ``key``.
+
+    Two tables bucketed the same way join with ZERO Exchange nodes: each
+    task reads bucket i of both sides (SortMergeJoin over pre-sorted
+    bucket files — at 100 TB that removes the full shuffle of BOTH fact
+    tables per join, the dominant cost of repeated joins on the same
+    key; plan-asserted Exchange-free in
+    tests/test_plans.py::TestBucketedJoin).  This is the query-side
+    complement of ``pipeline.write_bucketed_staging`` (a partitionBy
+    layout for chunk PRUNING): bucketBy hashes rows INTO a fixed file
+    count per partition for join co-location, partitionBy creates a
+    directory per value for scan pruning.
+
+    Spark bucketing requires the catalog (``spark.table(name)``) — plain
+    ``spark.read.parquet(path)`` ignores bucket metadata and re-shuffles.
+    """
+    writer = df.write.bucketBy(n_buckets, key)
+    if sort_by is not None:
+        writer = writer.sortBy(sort_by)
+    (writer.option("path", path).mode("overwrite").saveAsTable(name))

@@ -302,3 +302,44 @@ class TestNewOperatorPlans:
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_with_zero_exchanges(self, spark, tmp_path):
+        """Two tables written with write_bucketed_table on the same key
+        and bucket count must SortMergeJoin with NO Exchange anywhere —
+        the co-located big-big join layout (at 100 TB this removes the
+        full shuffle of both sides on every repeated key join)."""
+        from pyspark.sql import functions as F
+
+        from ocrd_calamari_spark.functions.joins import write_bucketed_table
+
+        a = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+        write_bucketed_table(a, "bk_a", str(tmp_path / "a"), 8, "k",
+                             sort_by="k")
+        write_bucketed_table(b, "bk_b", str(tmp_path / "b"), 8, "k",
+                             sort_by="k")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bk_a").join(spark.table("bk_b"), "k")
+            plan = plan_of(j, "simple")
+            assert "Exchange" not in plan
+            assert "SortMergeJoin" in plan
+            assert "Bucketed: true" in plan
+            assert j.count() == 5000
+            # the same data joined WITHOUT bucket metadata (plain parquet
+            # read) shuffles both sides — the negative control
+            pa = spark.read.parquet(str(tmp_path / "a"))
+            pb = spark.read.parquet(str(tmp_path / "b"))
+            nplan = plan_of(pa.join(pb, "k"), "simple")
+            assert "Exchange" in nplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS bk_a")
+            spark.sql("DROP TABLE IF EXISTS bk_b")
