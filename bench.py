@@ -68,6 +68,8 @@ HEADLINE = [
     "simhash_dedup",
     "jaccard_dedup",
     "bm25_search",
+    "bpe_pair_counts",
+    "domain_divergence",
 ]
 
 
