@@ -289,6 +289,66 @@ class TestTokenizerMixtureOps:
         assert got["c"] == max(got.values())
 
 
+class TestTokenizerMixtureRandomized:
+    def test_random_corpora_match_python(self, spark):
+        """Randomized corpora (Zipf-ish vocab, 1-40 tokens/doc, 1-6
+        domains, single-token docs, domains with one doc) — engine vs
+        python closed-form for domain_divergence and exact pair counts
+        for bpe_pair_counts.  Catches what the fixed fixtures can't:
+        singleton domains, tokens unique to one domain, ties in the
+        top-k boundary."""
+        import math
+        import random
+        from collections import Counter
+
+        from ocrd_calamari_spark.functions.text import (
+            bpe_pair_counts,
+            domain_divergence,
+        )
+
+        rng = random.Random(83)
+        vocab = [f"w{i}" for i in range(30)]
+        weights = [1.0 / (i + 1) for i in range(30)]
+        for trial in range(3):
+            rows = []
+            n_dom = rng.randint(1, 6)
+            for d in range(n_dom):
+                for i in range(rng.randint(1, 8)):
+                    toks = rng.choices(vocab, weights=weights,
+                                       k=rng.randint(1, 40))
+                    rows.append((f"d{d}", len(rows), " ".join(toks)))
+            df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+
+            got = {r.domain: r.chi2
+                   for r in domain_divergence(df).collect()}
+            toks = [(s, t) for s, _, tx in rows for t in tx.split()]
+            n = len(toks)
+            corpus = Counter(t for _, t in toks)
+            want = {}
+            for dom in {s for s, _ in toks}:
+                mine = Counter(t for s, t in toks if s == dom)
+                n_s = sum(mine.values())
+                qsum = 0
+                for t, c_s in mine.items():
+                    p, ps = corpus[t] / n, c_s / n_s
+                    qsum += math.floor(
+                        ((ps - p) * (ps - p) / p - p) * 1e12 + 0.5)
+                want[dom] = 1.0 + qsum / 1e12
+            assert got == pytest.approx(want, abs=1e-12), trial
+
+            pair_got = [(r.pair, r.n)
+                        for r in bpe_pair_counts(df, top_k=10).collect()]
+            cnt = Counter()
+            for _, _, tx in rows:
+                for tok in tx.strip().lower().split():
+                    if len(tok) >= 2:
+                        for i in range(len(tok) - 1):
+                            cnt[tok[i:i + 2]] += 1
+            pair_want = sorted(cnt.items(),
+                               key=lambda kv: (-kv[1], kv[0]))[:10]
+            assert pair_got == pair_want, trial
+
+
 class TestProfileAndSplit:
     def test_profile_counts_nulls_and_distincts(self, spark):
         from ocrd_calamari_spark.functions.profile import profile_columns
