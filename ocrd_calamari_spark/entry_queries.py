@@ -3005,6 +3005,45 @@ FROM terms GROUP BY domain ORDER BY domain
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (bigrams with frequency >= 0.15 % of
+    all bigram occurrences) in two bounded passes: Spark's JVM
+    frequent-items sketch (no false negatives) names <= 1/support
+    candidates, then exact counts for candidates only — the
+    full-cardinality groupBy (10^9+ distinct grams at corpus scale)
+    never runs, and only candidate keys ever shuffle.  N itself is
+    computed from per-doc token counts without exploding."""
+    from ocrd_calamari_spark.functions.sketch import frequent_items_exact
+    from ocrd_calamari_spark.functions.text import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        F.explode(word_ngrams(F.lower("text"), 2)).alias("gram")
+    )
+    # bounded scalar collect: one row (corpus gram count)
+    total = d.select(
+        F.sum(
+            F.greatest(F.size(F.split(F.lower("text"), " ")) - 1, F.lit(1))
+        ).alias("total")
+    ).collect()[0][0]
+    out = frequent_items_exact(grams, "gram", support=1.5e-3, total=int(total))
+    return out.orderBy(F.desc("n"), "gram")
+
+
+HEAVY_HITTERS_SQL = """
+WITH toks AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+g AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(ts)-1, 1)),
+                i -> array_to_string(ts[i:i+1], ' '))) AS gram
+  FROM toks
+),
+tot AS (SELECT SUM(greatest(len(ts)-1, 1)) AS total FROM toks),
+counts AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram)
+SELECT gram, n FROM counts CROSS JOIN tot
+WHERE n >= CEIL(1.5e-3 * total) ORDER BY n DESC, gram
+"""
+
+
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash shingle fingerprints (content-defined-chunking
     primitive) on the cross-engine md5 hash → fully DuckDB-oracled."""
@@ -3416,6 +3455,7 @@ QUERIES = {
     "extract_golden_diff": q_extract_golden_diff,
     "bpe_pair_counts": q_bpe_pair_counts,
     "domain_divergence": q_domain_divergence,
+    "heavy_hitters": q_heavy_hitters,
     # --- extraction family (rows-only by nature; golden contract above)
     "extract_pages": q_extract_pages,
     "extract_word_spans": q_extract_word_spans,
@@ -3475,6 +3515,7 @@ ORACLES = {
     "extract_golden_diff": GOLDEN_DIFF_SQL,
     "bpe_pair_counts": BPE_PAIR_SQL,
     "domain_divergence": DOMAIN_DIVERGENCE_SQL,
+    "heavy_hitters": HEAVY_HITTERS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

@@ -100,3 +100,52 @@ def _kmv_collect_set_form(df: DataFrame, group_col: str, value_col: str,
         .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins"))
     )
     return _kmv_estimate(mins, group_col, k, hash_space)
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters in two bounded passes (frequent-items sketch +
+# candidate-only exact count).  Reference parity: the corpus-frequency
+# reporting the reference's voting pipeline keys on (recognize.py's
+# per-page confidence aggregation) generalized to corpus heavy hitters.
+# ---------------------------------------------------------------------------
+def frequent_items_exact(
+    items: DataFrame,
+    value_col: str,
+    support: float,
+    total: int | None = None,
+) -> DataFrame:
+    """EXACT items with frequency >= ceil(support * N) in two passes,
+    never shuffling the full item stream.
+
+    Pass 1 — ``df.stat.freqItems`` (Spark's JVM-side Karp/Misra-Gries
+    frequent-items sketch): one shuffle-free scan with O(1/support)
+    state per task, merged on the driver into a candidate list of at
+    most ~1/support items.  The sketch may return FALSE POSITIVES but
+    never false negatives, which is exactly the contract a candidate
+    pass needs.
+
+    Pass 2 — exact counts for candidates only: an ``isin`` predicate
+    (pushed into the scan) drops every non-candidate before the shuffle,
+    so the groupBy ships <= 1/support distinct keys regardless of corpus
+    size.  The naive single-pass ``groupBy(value)`` would shuffle every
+    distinct item (10^9+ keys at corpus scale); here the full-cardinality
+    aggregation never happens.
+
+    ``total`` (N) is taken from the caller when already known (computed
+    JVM-side without exploding, e.g. from per-doc gram counts); otherwise
+    one count() pass.  Returns (value, n) for n >= ceil(support*N),
+    n exact.
+    """
+    import math
+
+    if total is None:
+        total = items.count()
+    # ceil over the same double product the oracle's CEIL(s * N) computes
+    threshold = int(math.ceil(support * total))
+    cands = items.stat.freqItems([value_col], support).collect()[0][0]
+    counts = (
+        items.where(F.col(value_col).isin(list(cands)))
+        .groupBy(value_col)
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.where(F.col("n") >= F.lit(threshold))

@@ -625,6 +625,49 @@ class TestSketches:
             assert bounded["small"][0] == 9.0  # below-k group stays exact
 
 
+class TestFrequentItemsExact:
+    def test_matches_naive_groupby_and_threshold(self, spark):
+        """Two-pass result == naive full groupBy + HAVING (completeness:
+        the sketch pass must never lose a true heavy hitter), across a
+        skewed stream with items straddling the threshold."""
+        import math
+
+        from ocrd_calamari_spark.functions.sketch import frequent_items_exact
+
+        # 40 hot items (600 each), 400 warm (30 each), 5000 cold singletons
+        rows = (
+            [(f"hot-{i % 40}",) for i in range(24000)]
+            + [(f"warm-{i % 400}",) for i in range(12000)]
+            + [(f"cold-{i}",) for i in range(5000)]
+        )
+        df = spark.createDataFrame(rows, ["v"]).repartition(8)
+        n = len(rows)
+        support = 2e-3  # threshold ceil(82) — hot pass, warm/cold fail
+        got = {
+            (r.v, r.n)
+            for r in frequent_items_exact(df, "v", support, total=n).collect()
+        }
+        thr = math.ceil(support * n)
+        naive = {
+            (r.v, r.n)
+            for r in df.groupBy("v").agg(F.count("*").alias("n"))
+            .where(F.col("n") >= thr).collect()
+        }
+        assert got == naive
+        assert len(got) == 40 and all(c == 600 for _, c in got)
+
+    def test_exact_counts_not_sketch_estimates(self, spark):
+        """Returned counts are pass-2 exact, even when the candidate pass
+        over-returns (false positives must be exact-counted then cut)."""
+        from ocrd_calamari_spark.functions.sketch import frequent_items_exact
+
+        rows = [("a",)] * 100 + [("b",)] * 99 + [("c",)] * 5
+        df = spark.createDataFrame(rows, ["v"]).repartition(4)
+        got = {(r.v, r.n) for r in
+               frequent_items_exact(df, "v", 0.49, total=204).collect()}
+        assert got == {("a", 100)}  # threshold ceil(99.96)=100; b at 99 cut
+
+
 class TestJoins:
     def test_salted_join_matches_plain_join_and_spreads_key(self, spark):
         from ocrd_calamari_spark.functions.joins import salted_join
