@@ -1511,6 +1511,40 @@ ORDER BY c.doc_id
 """
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate's LARGE-catalog form on the same planted-leak
+    fixture: the catalog gram set ships as a 128 KiB Bloom bitset
+    instead of a broadcast hash table, corpus grams pre-filter through
+    it vectorized, and one exact verify join removes the false
+    positives — answers identical to the exact intersection, so it
+    shares decontaminate's oracle."""
+    from ocrd_calamari_spark.functions.dedup import bloom_decontaminate
+
+    d = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        .repartition(4 * spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    benchmark = d.where(F.col("doc_id") % 97 == 0)
+    leak = benchmark.where(F.col("doc_id") == 0).select(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("_leak")
+    )
+    corpus = (
+        d.where(F.col("doc_id") % 97 != 0)
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 3,
+                F.concat("text", F.lit(" "), "_leak"),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    out = bloom_decontaminate(corpus, benchmark, "doc_id", "text", n=8)
+    return out.select("doc_id", "n_leaked_ngrams", "contaminated").orderBy(
+        "doc_id"
+    )
+
+
 def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota sampling: keep the 3 highest-quality docs per host
     (C4/RefinedWeb-style domain caps so megasites cannot dominate the
@@ -3456,6 +3490,7 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "domain_divergence": q_domain_divergence,
     "heavy_hitters": q_heavy_hitters,
+    "bloom_decontaminate": q_bloom_decontaminate,
     # --- extraction family (rows-only by nature; golden contract above)
     "extract_pages": q_extract_pages,
     "extract_word_spans": q_extract_word_spans,
@@ -3516,6 +3551,7 @@ ORACLES = {
     "bpe_pair_counts": BPE_PAIR_SQL,
     "domain_divergence": DOMAIN_DIVERGENCE_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
+    "bloom_decontaminate": DECONTAMINATE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

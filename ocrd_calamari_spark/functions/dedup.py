@@ -563,6 +563,145 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter decontamination: the LARGE-catalog variant of decontaminate.
+# When the contamination catalog is itself web-scale (dedup against a prior
+# 10^9-gram corpus rather than a KB-sized eval suite), broadcasting even the
+# hashed gram set is gigabytes.  A Bloom filter at ~m/n bits per gram is the
+# standard compaction: build it distributed, OR the per-partition bitsets on
+# the driver (bounded: n_partitions x m/8 bytes), broadcast m/8 bytes, and
+# pre-filter corpus grams vectorized before ONE exact verify join that
+# removes the false positives — the final answer is exactly the plain
+# intersection's.
+# ---------------------------------------------------------------------------
+_BLOOM_K = 6  # probes per key; fp ~ (1 - e^(-k*n/m))^k
+
+
+def _bloom_positions(h1, h2, m_bits: int):
+    """k double-hashed probe positions (Kirsch-Mitzenmacher h1 + i*h2),
+    shared by the build and membership paths so bit layouts agree.
+    numpy uint64 wraparound arithmetic — deterministic everywhere."""
+    import numpy as np
+
+    a = h1.astype("uint64")
+    b = h2.astype("uint64")
+    return [
+        ((a + np.uint64(i) * b) % np.uint64(m_bits)) for i in range(_BLOOM_K)
+    ]
+
+
+def build_bloom(hashes: DataFrame, m_bits: int) -> bytes:
+    """Distributed Bloom-filter build over (h1, h2) hash pairs: each
+    partition folds its rows into one m/8-byte bitset inside
+    ``mapInPandas`` (numpy bincount over probe positions), the driver ORs
+    the per-partition bitsets.  Driver memory is n_partitions x m/8
+    bytes; callers coalesce wide inputs first (the queries use <= 32)."""
+    import numpy as np
+
+    n_bytes = m_bits // 8
+
+    def fold(batches):
+        import pandas as pd
+
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for b in batches:
+            for pos in _bloom_positions(
+                b["h1"].to_numpy(), b["h2"].to_numpy(), m_bits
+            ):
+                byte_idx = (pos // np.uint64(8)).astype(np.int64)
+                mask = np.left_shift(
+                    np.uint8(1), (pos % np.uint64(8)).astype(np.uint8)
+                )
+                np.bitwise_or.at(bits, byte_idx, mask)
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = hashes.mapInPandas(fold, "bits binary").collect()
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for row in parts:
+        acc |= np.frombuffer(row.bits, dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_member_filter(df: DataFrame, bloom_bytes: bytes,
+                        m_bits: int) -> DataFrame:
+    """Rows of ``df`` whose (h1, h2) key tests positive in the filter —
+    vectorized probe over the broadcast bitset (may keep false positives;
+    never drops a true member)."""
+    import numpy as np
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(bloom_bytes)
+    cols = df.columns
+    schema = df.schema
+
+    def probe(batches):
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        for b in batches:
+            hit = np.ones(len(b), dtype=bool)
+            if len(b):
+                for pos in _bloom_positions(
+                    b["h1"].to_numpy(), b["h2"].to_numpy(), m_bits
+                ):
+                    byte_idx = (pos // np.uint64(8)).astype(np.int64)
+                    mask = np.left_shift(
+                        np.uint8(1), (pos % np.uint64(8)).astype(np.uint8)
+                    )
+                    hit &= (bits[byte_idx] & mask) != 0
+            yield b[hit][cols]
+
+    return df.mapInPandas(probe, schema)
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    catalog: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """``decontaminate`` for a LARGE contamination catalog: identical
+    output (per-doc count of distinct n-grams shared with the catalog +
+    contaminated flag), but nothing catalog-sized is ever broadcast —
+    only the m/8-byte Bloom bitset ships to executors.  Corpus grams are
+    pre-filtered through the bitset (Arrow-vectorized probe), and the
+    surviving sliver takes ONE exact hash-equi join against the
+    catalog's gram hashes, which removes Bloom false positives — the
+    result is bit-identical to the exact intersection.
+    """
+    from ocrd_calamari_spark.functions.text import word_ngrams
+
+    def gram_hashes(df):
+        h1 = F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
+            )
+        )
+        return df.select(F.col(id_col), h1.alias("h1")).withColumn(
+            "h2", F.xxhash64("h1")
+        )
+
+    cat = gram_hashes(catalog).select("h1", "h2").distinct()
+    bloom = build_bloom(cat.coalesce(32), m_bits)
+    doc_grams = gram_hashes(corpus)
+    survivors = bloom_member_filter(doc_grams, bloom, m_bits)
+    hits = (
+        survivors.join(cat.select("h1"), "h1")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_leaked_ngrams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_leaked_ngrams", F.lit(0)).cast("bigint")
+            .alias("n_leaked_ngrams"),
+        )
+        .withColumn("contaminated", F.col("n_leaked_ngrams") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: a new crawl delta against a prior run's fingerprint
 # catalog — the production shape where the corpus already exists and each
 # crawl only contributes its novel documents.

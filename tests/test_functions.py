@@ -830,6 +830,56 @@ class TestDecontaminate:
         assert not got[3].contaminated
 
 
+class TestBloomDecontaminate:
+    def test_equals_exact_even_with_forced_false_positives(self, spark):
+        """At m_bits=256 the bitset saturates (fp rate near 1), so nearly
+        every corpus gram survives the pre-filter — the verify join must
+        still cut the result to the exact intersection."""
+        import random
+
+        from ocrd_calamari_spark.functions.dedup import (
+            bloom_decontaminate, decontaminate,
+        )
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(50)]
+        mk = lambda: " ".join(rng.choice(vocab) for _ in range(30))
+        bench_rows = [(1000 + i, mk()) for i in range(5)]
+        corpus_rows = [(i, mk()) for i in range(40)]
+        # plant a literal leak: corpus doc 0 embeds bench doc 0's lead 8-gram
+        leak = " ".join(bench_rows[0][1].split()[:8])
+        corpus_rows[0] = (0, corpus_rows[0][1] + " " + leak)
+        bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+        corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+        for m_bits in (256, 1 << 16):
+            got = {r.doc_id: (r.n_leaked_ngrams, r.contaminated)
+                   for r in bloom_decontaminate(
+                       corpus, bench, n=8, m_bits=m_bits).collect()}
+            exact = {r.doc_id: (r.n_leaked_ngrams, r.contaminated)
+                     for r in decontaminate(corpus, bench, n=8).collect()}
+            assert got == exact
+            assert got[0][1]  # the planted leak is flagged
+
+    def test_build_is_partition_invariant_and_membership_complete(self, spark):
+        from ocrd_calamari_spark.functions.dedup import (
+            bloom_member_filter, build_bloom,
+        )
+
+        rows = [(i,) for i in range(2000)]
+        hashes = (
+            spark.createDataFrame(rows, ["v"])
+            .select(F.xxhash64("v").alias("h1"))
+            .withColumn("h2", F.xxhash64("h1"))
+        )
+        m = 1 << 15
+        b1 = build_bloom(hashes.repartition(16), m)
+        b2 = build_bloom(hashes.coalesce(1), m)
+        assert b1 == b2 and len(b1) == m // 8
+        # every true member must survive the probe (no false negatives)
+        kept = bloom_member_filter(hashes, b1, m).count()
+        assert kept == hashes.count()
+
+
 class TestRepetitionStatsRandomized:
     def test_matches_python_reference(self, spark):
         """150 random token sequences (skewed vocab so repeats are common)
