@@ -3078,6 +3078,123 @@ WHERE n >= CEIL(1.5e-3 * total) ORDER BY n DESC, gram
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embeddings table (k=8,
+    2 iterations, integer-exact on the 1e-6 quantization grid) — an
+    ITERATIVE algorithm with an exact DuckDB oracle (unrolled CTE per
+    iteration), like the quantized PageRank.  Per-iteration shuffle is
+    k*dim keys after map-side combine; centroids ride as literals."""
+    from ocrd_calamari_spark.functions.cluster import kmeans_assign
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_assign(e, "vec_id", "embedding", k=8, iters=2).orderBy(
+        "vec_id"
+    )
+
+
+def _kmeans_sql_ctes(k: int, iters: int) -> str:
+    """Unrolled Lloyd CTE chain over a prior ``vecs(vec_id, q)`` CTE —
+    the oracle twin of functions/cluster.py's driver loop (same integer
+    math: exact squared distances, (dist, cluster) tie-break,
+    floor(sum/count) centroid updates, empty clusters coalesce to the
+    previous centroid)."""
+    parts = [f"""pos AS (
+  SELECT vec_id, unnest(q) AS val, generate_subscripts(q, 1) AS pos FROM vecs
+), cent0 AS (
+  SELECT CAST(DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         pos, val
+  FROM pos WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {k})
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""d{i} AS (
+  SELECT p.vec_id, c.cluster, SUM((p.val - c.val) * (p.val - c.val)) AS dist
+  FROM pos p JOIN cent{i-1} c USING (pos) GROUP BY 1, 2
+), a{i} AS (
+  SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist FROM (
+    SELECT vec_id, cluster, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d{i}) WHERE rn = 1
+)""")
+        if i < iters:
+            parts.append(f"""u{i} AS (
+  SELECT a.cluster, p.pos,
+         CAST(floor(CAST(SUM(p.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+  FROM a{i} a JOIN pos p USING (vec_id) GROUP BY 1, 2
+), cent{i} AS (
+  SELECT c.cluster, c.pos, COALESCE(u.val, c.val) AS val
+  FROM cent{i-1} c LEFT JOIN u{i} u
+    ON u.cluster = c.cluster AND u.pos = c.pos
+)""")
+    return ", ".join(parts)
+
+
+_QUANT_VEC = "list_transform(embedding, x -> CAST(floor(x * 1e6) AS BIGINT))"
+
+KMEANS_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, {_QUANT_VEC} AS q FROM embeddings
+), {_kmeans_sql_ctes(8, 2)}
+SELECT vec_id, cluster, dist FROM a2 ORDER BY vec_id
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over embeddings ∪ planted near-copies (every 50th vector
+    re-enters scaled by 1.02 → cosine ≈ 1): k-means prunes the pair
+    space to within-cluster, then the integer cross-multiplied cosine
+    test at 0.95 drops the higher-id member of each near-dup pair.
+    Fully hash-exact vs the unrolled-SQL twin."""
+    from ocrd_calamari_spark.functions.cluster import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = e.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.02)).alias("embedding"),
+    )
+    data = e.unionByName(copies)
+    return semantic_dedup(
+        data, "vec_id", "embedding", k=8, iters=2, tau_num=95, tau_den=100
+    ).orderBy("vec_id")
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+cop AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> x * 1.02e0) AS embedding
+  FROM base WHERE vec_id % 50 = 0
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM cop),
+vecs AS (SELECT vec_id, {_QUANT_VEC} AS q FROM allv),
+{_kmeans_sql_ctes(8, 2)},
+n2 AS (SELECT vec_id, SUM(val * val) AS n2 FROM pos GROUP BY 1),
+pairs AS (
+  SELECT x.vec_id AS ida, y.vec_id AS idb
+  FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+),
+dots AS (
+  SELECT pr.ida, pr.idb, SUM(px.val * py.val) AS dot
+  FROM pairs pr
+  JOIN pos px ON px.vec_id = pr.ida
+  JOIN pos py ON py.vec_id = pr.idb AND py.pos = px.pos
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT d.idb AS vec_id
+  FROM dots d
+  JOIN n2 na ON na.vec_id = d.ida
+  JOIN n2 nb ON nb.vec_id = d.idb
+  WHERE d.dot > 0
+    AND CAST(10000 AS HUGEINT) * d.dot * d.dot
+        >= CAST(9025 AS HUGEINT) * na.n2 * nb.n2
+)
+SELECT a.vec_id, a.cluster, (dr.vec_id IS NULL) AS kept
+FROM a2 a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash shingle fingerprints (content-defined-chunking
     primitive) on the cross-engine md5 hash → fully DuckDB-oracled."""
@@ -3491,6 +3608,8 @@ QUERIES = {
     "domain_divergence": q_domain_divergence,
     "heavy_hitters": q_heavy_hitters,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup": q_semantic_dedup,
     # --- extraction family (rows-only by nature; golden contract above)
     "extract_pages": q_extract_pages,
     "extract_word_spans": q_extract_word_spans,
@@ -3552,6 +3671,8 @@ ORACLES = {
     "domain_divergence": DOMAIN_DIVERGENCE_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "bloom_decontaminate": DECONTAMINATE_SQL,
+    "kmeans_clusters": KMEANS_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

@@ -1057,6 +1057,85 @@ class TestPageRank:
         assert connected_components(empty_pairs).collect() == []
 
 
+class TestKMeansCluster:
+    def test_matches_numpy_reference(self, spark):
+        """Driver-looped DataFrame Lloyd == a numpy implementation of the
+        same quantized-integer rules (init = k lowest ids, ties to the
+        lowest cluster, floor(sum/count) updates) — including the final
+        exact distances."""
+        import numpy as np
+
+        from ocrd_calamari_spark.functions.cluster import kmeans_assign
+
+        rng = np.random.default_rng(11)
+        n, dim, k, iters = 60, 8, 4, 3
+        M = rng.normal(size=(n, dim))
+        rows = [(i, [float(x) for x in M[i]]) for i in range(n)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(7)
+
+        Q = np.floor(M * 1e6).astype(np.int64)
+        cents = Q[:k].copy()
+        for _ in range(iters):
+            d = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(k):
+                m = Q[assign == j]
+                if len(m):
+                    cents[j] = np.floor(m.sum(0) / len(m)).astype(np.int64)
+        want = {(i, int(assign[i]), int(d[i, assign[i]])) for i in range(n)}
+
+        got = {
+            (r.vec_id, r.cluster, r.dist)
+            for r in kmeans_assign(df, k=k, iters=iters).collect()
+        }
+        assert got == want
+
+    def test_partition_invariant(self, spark):
+        import numpy as np
+
+        from ocrd_calamari_spark.functions.cluster import kmeans_assign
+
+        rng = np.random.default_rng(3)
+        rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(40)]
+        a = {(r.vec_id, r.cluster) for r in kmeans_assign(
+            spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(1),
+            k=3, iters=2).collect()}
+        b = {(r.vec_id, r.cluster) for r in kmeans_assign(
+            spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(13),
+            k=3, iters=2).collect()}
+        assert a == b
+
+
+class TestSemanticDedup:
+    def test_drops_scaled_copies_keeps_originals(self, spark):
+        import numpy as np
+
+        from ocrd_calamari_spark.functions.cluster import semantic_dedup
+
+        rng = np.random.default_rng(5)
+        M = rng.normal(size=(30, 8))
+        rows = [(i, [float(x) for x in M[i]]) for i in range(30)]
+        # ids 100+: scaled near-copies of vectors 0..4 (cosine == 1)
+        rows += [(100 + i, [float(x * 1.5) for x in M[i]]) for i in range(5)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = {r.vec_id: r.kept for r in
+               semantic_dedup(df, k=3, iters=2, tau_num=95).collect()}
+        assert all(not got[100 + i] for i in range(5))   # copies dropped
+        assert all(got[i] for i in range(5))             # originals kept
+
+    def test_negated_vector_not_a_dup(self, spark):
+        """cos = -1 must NOT count as a duplicate (the dot > 0 guard —
+        a squared-comparison-only implementation would drop it)."""
+        from ocrd_calamari_spark.functions.cluster import semantic_dedup
+
+        v = [1.0, 2.0, 3.0, 4.0]
+        rows = [(0, v), (1, [-x for x in v]), (2, [4.0, -3.0, 2.0, -1.0])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = {r.vec_id: r.kept for r in
+               semantic_dedup(df, k=1, iters=1, tau_num=95).collect()}
+        assert got == {0: True, 1: True, 2: True}
+
+
 class TestConnectedComponents:
     def test_path_triangle_and_pair(self, spark):
         """Path graphs are the worst case for plain neighbor propagation
