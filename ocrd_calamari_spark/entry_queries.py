@@ -3195,6 +3195,34 @@ ORDER BY a.vec_id
 """
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang exact p50/p90/p99 of n_chars via a value histogram: the
+    shuffle ships (lang, n_chars, partial-count) after map-side combine
+    — bounded by the value grid, independent of row count — instead of
+    every row the sort-based percentile would move."""
+    from ocrd_calamari_spark.functions.profile import histogram_quantiles
+
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return histogram_quantiles(d, "lang", "n_chars").orderBy("lang")
+
+
+HISTOGRAM_QUANTILES_SQL = """
+WITH h AS (
+  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, n_chars,
+         SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT lang,
+       MIN(CASE WHEN cum >= CEIL(5e-1 * n) THEN n_chars END) AS p50,
+       MIN(CASE WHEN cum >= CEIL(9e-1 * n) THEN n_chars END) AS p90,
+       MIN(CASE WHEN cum >= CEIL(9.9e-1 * n) THEN n_chars END) AS p99
+FROM cum GROUP BY lang ORDER BY lang
+"""
+
+
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash shingle fingerprints (content-defined-chunking
     primitive) on the cross-engine md5 hash → fully DuckDB-oracled."""
@@ -3610,6 +3638,7 @@ QUERIES = {
     "bloom_decontaminate": q_bloom_decontaminate,
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
+    "histogram_quantiles": q_histogram_quantiles,
     # --- extraction family (rows-only by nature; golden contract above)
     "extract_pages": q_extract_pages,
     "extract_word_spans": q_extract_word_spans,
@@ -3673,6 +3702,7 @@ ORACLES = {
     "bloom_decontaminate": DECONTAMINATE_SQL,
     "kmeans_clusters": KMEANS_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "histogram_quantiles": HISTOGRAM_QUANTILES_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

@@ -87,3 +87,44 @@ def hash_split(
         cond = h < F.lit(acc)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float] | None = None,
+) -> DataFrame:
+    """EXACT per-group type-1 (lower) quantiles of an integer column via
+    a value histogram — the bounded-state percentile for 10^12-row
+    groups.
+
+    The sort-based exact percentile shuffles every row; here the shuffle
+    ships (group, value, partial-count) AFTER map-side combine, so its
+    volume is group-cardinality x value-grid cardinality, independent of
+    row count.  The cumulative window then runs over the tiny histogram,
+    and quantile q is the smallest value whose cumulative count reaches
+    ceil(q * n) — the classic type-1 definition, integer-exact, so the
+    result hash-matches a plain window-function oracle.  (For unbounded
+    REAL-valued columns, pre-bucket with floor(x / w) * w — same plan,
+    grid-exact answers.)
+    """
+    from pyspark.sql import Window
+
+    if qs is None:
+        qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    h = df.groupBy(group_col, value_col).agg(F.count("*").alias("_c"))
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    h = h.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(group_col))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")),
+                F.col(value_col),
+            )
+        ).alias(name)
+        for name, q in qs.items()
+    ]
+    return h.groupBy(group_col).agg(*aggs)

@@ -625,6 +625,30 @@ class TestSketches:
             assert bounded["small"][0] == 9.0  # below-k group stays exact
 
 
+class TestHistogramQuantiles:
+    def test_matches_sorted_type1_quantiles(self, spark):
+        """Histogram path == sorted-array type-1 quantiles
+        (sorted[ceil(q*n)-1]) on duplicate-heavy integer data."""
+        import math
+        import random
+
+        from ocrd_calamari_spark.functions.profile import histogram_quantiles
+
+        rng = random.Random(13)
+        rows = [(f"g{i % 3}", rng.randint(0, 40)) for i in range(999)]
+        df = spark.createDataFrame(rows, ["grp", "v"]).repartition(8)
+        got = {r.grp: (r.p50, r.p90, r.p99)
+               for r in histogram_quantiles(df, "grp", "v").collect()}
+        by_g = {}
+        for g, v in rows:
+            by_g.setdefault(g, []).append(v)
+        for g, vals in by_g.items():
+            vals.sort()
+            n = len(vals)
+            want = tuple(vals[math.ceil(q * n) - 1] for q in (0.5, 0.9, 0.99))
+            assert got[g] == want, (g, got[g], want)
+
+
 class TestFrequentItemsExact:
     def test_matches_naive_groupby_and_threshold(self, spark):
         """Two-pass result == naive full groupBy + HAVING (completeness:
