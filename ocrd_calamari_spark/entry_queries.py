@@ -3223,6 +3223,393 @@ FROM cum GROUP BY lang ORDER BY lang
 """
 
 
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded BFS from a seed page over the symmetrized link graph
+    (min click-distance per reachable node) — the crawl-scheduling
+    primitive: frontier expansion IS how a crawler discovers the web, and
+    depth is the classic crawl-budget / priority key.  Driver-looped
+    frontier joins with early exit (functions/graph.py:bfs_depth); the
+    DuckDB twin is a recursive CTE whose UNION-dedup reproduces BFS's
+    "first discovery = min depth" invariant exactly.  Pure integer
+    depths → hash-exact."""
+    from ocrd_calamari_spark.functions.graph import bfs_depth
+
+    links = q_extract_links(spark, sf_dir)
+    fwd = links.select(
+        F.col("url").alias("src"),
+        F.concat(_page_host(), F.col("href")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.range(1).select(
+        F.lit("https://host00.example/d/0").alias("node")
+    )
+    out = bfs_depth(edges, seeds, max_iters=6)
+    return out.select("node", F.col("depth").cast("int").alias("depth")
+                      ).orderBy("depth", "node")
+
+
+def _crawl_depth_sql() -> str:
+    head = _PAGE_HEAD.replace("'", "''")
+    foot = _PAGE_FOOT.replace("'", "''")
+    return f"""
+WITH RECURSIVE pages AS (
+  SELECT 'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+         || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+         'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+         || '.example' AS host,
+         '{head}' || '<article><h1>Document ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text || '</p></article>' || '{foot}' AS html
+  FROM documents
+), fwd AS (
+  SELECT url AS src, host || unnest(
+           regexp_extract_all(html, 'href="([^"]*)"', 1)) AS dst
+  FROM pages
+), edges AS (
+  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+), bfs(node, depth) AS (
+  SELECT 'https://host00.example/d/0' AS node, 0 AS depth
+  UNION
+  SELECT e.dst, b.depth + 1
+  FROM bfs b JOIN edges e ON e.src = b.node WHERE b.depth < 6
+)
+SELECT node, CAST(MIN(depth) AS INTEGER) AS depth
+FROM bfs GROUP BY node ORDER BY depth, node
+"""
+
+
+def q_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact thresholded cosine-similarity join over TF term vectors via
+    the inverted index (functions/dedup.py:tf_cosine_join) — integer
+    threshold predicate, one IEEE-exact division for the reported
+    sim², stop-terms df-capped out of the vectors (the REQUIRED knob at
+    corpus scale — same Zipf argument as jaccard's max_df)."""
+    from ocrd_calamari_spark.functions.dedup import tf_cosine_join
+
+    d = _t(spark, sf_dir, "documents")
+    out = tf_cosine_join(
+        d, "doc_id", "text", threshold_pct=60, max_df_frac=0.2
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+SPARSE_COSINE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf0 AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), keep AS (
+  SELECT term FROM tf0 GROUP BY term
+  HAVING COUNT(*) <= CEIL(2e-1 * (SELECT COUNT(*) FROM documents))
+), tf AS (
+  SELECT tf0.* FROM tf0 JOIN keep USING (term)
+), norms AS (
+  SELECT id, CAST(SUM(tf * tf) AS BIGINT) AS nrm FROM tf GROUP BY id
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tf a JOIN tf b ON a.term = b.term AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, dot,
+       CAST(dot * dot AS DOUBLE) / CAST(na.nrm * nb.nrm AS DOUBLE) AS sim_sq
+FROM pairs
+JOIN norms na ON na.id = id_a
+JOIN norms nb ON nb.id = id_b
+WHERE 10000 * dot * dot >= 3600 * na.nrm * nb.nrm
+ORDER BY id_a, id_b
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier
+    (functions/classify.py) — per-doc score is a zero-shuffle JVM fold
+    over unigram+bigram hashed features; deterministic hash-derived
+    integer weights make the DuckDB twin hash-exact while the plan is
+    exactly the one a learned broadcast weight map would run."""
+    from ocrd_calamari_spark.functions.classify import hashed_linear_quality
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_linear_quality(d, "doc_id", "text", bias=0).orderBy(
+        "doc_id"
+    )
+
+
+QUALITY_CLASSIFIER_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), f AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                          i -> array_to_string(toks[i:i+1], ' '))) AS feats
+  FROM t
+), e AS (
+  SELECT doc_id, len(feats) AS n_feats, unnest(feats) AS feat FROM f
+), s AS (
+  SELECT doc_id, CAST(MIN(n_feats) AS INTEGER) AS n_feats,
+         CAST(0 + SUM(('0x' || substr(md5(feat), 1, 15))::BIGINT % 2001
+                      - 1000) AS BIGINT) AS score
+  FROM e GROUP BY doc_id
+)
+SELECT doc_id, n_feats, score,
+       CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM s ORDER BY doc_id
+"""
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM quality score per document
+    (functions/text.py:bigram_lm_scores) — the CCNet-style perplexity
+    -proxy filter in quantized-integer form, hash-exact vs DuckDB."""
+    from ocrd_calamari_spark.functions.text import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "doc_id", "text").orderBy("id")
+
+
+LM_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), u AS (
+  SELECT unnest(toks) AS tok FROM t
+), c1 AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM u GROUP BY tok
+), g AS (
+  SELECT doc_id,
+         unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+         unnest([toks[i] || ' ' || toks[i + 1]
+                 for i in range(1, len(toks))]) AS gram
+  FROM t
+), c2 AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS c2 FROM g GROUP BY gram
+), q AS (
+  SELECT g.doc_id,
+         CAST(floor(1e12 * (c2.c2 / c1.c1)) AS BIGINT) AS q
+  FROM g JOIN c2 USING (gram) JOIN c1 ON c1.tok = g.w1
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+         CAST(SUM(q) AS BIGINT) AS sum_q
+  FROM q GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       CAST(floor(p.sum_q / p.n_bigrams) AS BIGINT) AS lm_score
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY id
+"""
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token associations by PMI over a ±2 co-occurrence window
+    (functions/text.py:cooccurrence_pmi) — pair generation is a pure
+    per-row array map (no self-join), the ratio form keeps the score
+    hash-exact."""
+    from ocrd_calamari_spark.functions.text import cooccurrence_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    return cooccurrence_pmi(d, "text", window=2, min_count=5, top_k=50)
+
+
+PMI_PAIRS_SQL = """
+WITH t AS (
+  SELECT string_split(lower(text), ' ') AS toks FROM documents
+), p0 AS (
+  SELECT unnest([least(toks[i], toks[i + 1])
+                 for i in range(1, len(toks))]) AS a,
+         unnest([greatest(toks[i], toks[i + 1])
+                 for i in range(1, len(toks))]) AS b
+  FROM t
+  UNION ALL
+  SELECT unnest([least(toks[i], toks[i + 2])
+                 for i in range(1, len(toks) - 1)]) AS a,
+         unnest([greatest(toks[i], toks[i + 2])
+                 for i in range(1, len(toks) - 1)]) AS b
+  FROM t
+), pairs AS (
+  SELECT a, b FROM p0 WHERE a < b
+), u AS (
+  SELECT unnest(toks) AS tok FROM t
+), c_tok AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY tok
+), nt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM u
+), np AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pair FROM pairs
+), cab AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pairs GROUP BY a, b HAVING COUNT(*) >= 5
+)
+SELECT a, b, c_ab,
+       CAST(c_ab * n_tok * n_tok AS DOUBLE)
+       / CAST(n_pair * ca.c * cb.c AS DOUBLE) AS pmi_ratio
+FROM cab
+JOIN c_tok ca ON ca.tok = a
+JOIN c_tok cb ON cb.tok = b
+CROSS JOIN nt CROSS JOIN np
+ORDER BY pmi_ratio DESC, a, b LIMIT 50
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split with a NEAR-DUP LEAKAGE GUARD: the classic silent
+    eval-contamination failure is a near-duplicate pair straddling
+    train/test — a per-doc hash split guarantees it at scale.  Fix by
+    composition: exact-Jaccard pairs (threshold 0.5, trigrams — same
+    operating point as `jaccard_dedup`) → connected components → every
+    member of a component splits by the COMPONENT representative's hash,
+    so a whole dup-cluster lands on one side; singletons hash their own
+    id (identical to plain `train_test_split` for them — incremental
+    stability preserved).  Scale: adds one (doc, component) join on top
+    of the dedup pass the pipeline already runs; the split itself stays a
+    pure hash function.  Output is hash-exact (ints + md5 strings)."""
+    from ocrd_calamari_spark.functions.dedup import (
+        PORTABLE_TOKEN_HASH_SQL, connected_components, jaccard_index_dedup)
+    from ocrd_calamari_spark.functions.profile import hash_split
+
+    corpus = _with_injected_dups(spark, sf_dir)
+    pairs = jaccard_index_dedup(corpus, threshold=0.5, shingle_k=3)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    assigned = (
+        corpus.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"),
+        )
+    )
+    tmpl = (
+        "pmod(" + PORTABLE_TOKEN_HASH_SQL.format(t="cast({t} as string)")
+        + ", 100)"
+    )
+    return hash_split(
+        assigned, "component", {"train": 98, "valid": 1, "test": 1},
+        hash_sql=tmpl,
+    ).orderBy("doc_id")
+
+
+LEAKAGE_SPLIT_SQL = r"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+  FROM documents WHERE doc_id < 40
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tokens[i:i+2], ' ')
+                        for i in range(1, greatest(len(tokens)-2, 1)+1)]) AS s
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM corpus)
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1e0
+          / len(list_distinct(list_concat(a.s, b.s))) >= 5e-1
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b, id_a FROM p
+), nodes AS (
+  SELECT DISTINCT a AS v FROM edges
+), reach(v, lbl) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.v
+), comp AS (
+  SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+  FROM reach GROUP BY v
+), assigned AS (
+  SELECT c.doc_id, COALESCE(k.component, c.doc_id) AS component
+  FROM corpus c LEFT JOIN comp k USING (doc_id)
+)
+SELECT doc_id, component,
+       CASE WHEN h < 98 THEN 'train'
+            WHEN h < 99 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, component,
+             ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS h
+      FROM assigned)
+ORDER BY doc_id
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot diff: classify every url as added /
+    removed / changed / unchanged between the previous crawl and the
+    current one — the CDC step that decides what a refresh pipeline
+    re-extracts.  The previous snapshot is derived deterministically from
+    the current (every 11th url didn't exist yet → added; every 5th ≡ 1
+    carried an older revision → changed; 40 synthetic urls have since
+    been deleted → removed).  Scale shape: both sides reduce to
+    (doc_id, 16-byte fingerprint) BEFORE the full-outer join — text never
+    shuffles, and the join is the only exchange."""
+    from ocrd_calamari_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    cur = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    prev_live = (
+        d.where(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            fingerprint(
+                F.when(
+                    F.col("doc_id") % 5 == 1,
+                    F.concat(F.col("text"), F.lit(" legacy-revision")),
+                ).otherwise(F.col("text"))
+            ).alias("fp_prev"),
+        )
+    )
+    prev_gone = d.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        fingerprint(F.col("text")).alias("fp_prev"),
+    )
+    prev = prev_live.unionByName(prev_gone)
+    out = cur.join(prev, "doc_id", "full").select(
+        "doc_id",
+        F.when(F.col("fp_prev").isNull(), "added")
+        .when(F.col("fp").isNull(), "removed")
+        .when(F.col("fp") != F.col("fp_prev"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return out.orderBy("doc_id")
+
+
+def _snapshot_diff_sql() -> str:
+    from ocrd_calamari_spark.functions.text import fingerprint_sql_duckdb
+
+    fp_text = fingerprint_sql_duckdb("text")
+    fp_old = fingerprint_sql_duckdb(
+        "CASE WHEN doc_id % 5 = 1 THEN text || ' legacy-revision' "
+        "ELSE text END"
+    )
+    return f"""
+WITH cur AS (
+  SELECT doc_id, {fp_text} AS fp FROM documents
+), prev AS (
+  SELECT doc_id, {fp_old} AS fp_prev
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, {fp_text} AS fp_prev
+  FROM documents WHERE doc_id < 40
+)
+SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id,
+       CASE WHEN prev.fp_prev IS NULL THEN 'added'
+            WHEN cur.fp IS NULL THEN 'removed'
+            WHEN cur.fp <> prev.fp_prev THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash shingle fingerprints (content-defined-chunking
     primitive) on the cross-engine md5 hash → fully DuckDB-oracled."""
@@ -3639,6 +4026,13 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
     "histogram_quantiles": q_histogram_quantiles,
+    "crawl_depth": q_crawl_depth,
+    "sparse_cosine_join": q_sparse_cosine_join,
+    "quality_classifier": q_quality_classifier,
+    "lm_quality": q_lm_quality,
+    "pmi_pairs": q_pmi_pairs,
+    "leakage_safe_split": q_leakage_safe_split,
+    "snapshot_diff": q_snapshot_diff,
     # --- extraction family (rows-only by nature; golden contract above)
     "extract_pages": q_extract_pages,
     "extract_word_spans": q_extract_word_spans,
@@ -3703,6 +4097,13 @@ ORACLES = {
     "kmeans_clusters": KMEANS_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "histogram_quantiles": HISTOGRAM_QUANTILES_SQL,
+    "crawl_depth": _crawl_depth_sql(),
+    "sparse_cosine_join": SPARSE_COSINE_SQL,
+    "quality_classifier": QUALITY_CLASSIFIER_SQL,
+    "lm_quality": LM_QUALITY_SQL,
+    "pmi_pairs": PMI_PAIRS_SQL,
+    "leakage_safe_split": LEAKAGE_SPLIT_SQL,
+    "snapshot_diff": _snapshot_diff_sql(),
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

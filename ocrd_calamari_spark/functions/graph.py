@@ -17,6 +17,82 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iters: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Minimum-hop distance from a seed set → (node, depth) — the
+    crawl-scheduling primitive (frontier expansion: "everything within k
+    clicks of the seeds"), reference position: the workspace's page
+    enumeration is a flat scan (`recognize.py:97` processes an already
+    -resolved page list); hop-bounded discovery is the web-native
+    generalization a crawl pipeline needs.
+
+    Iterative frontier joins, driver-looped like :func:`pagerank`: each
+    round joins the CURRENT frontier (only just-discovered nodes, not
+    the whole visited set) onto the edge list, anti-joins the visited
+    set, and tags survivors with the round number.  BFS invariant: a
+    node's first discovery round IS its minimum hop distance, so no
+    per-node min aggregation is ever needed.
+
+    Scale shape per iteration: one equi-join frontier⋈edges (the
+    frontier is typically small → AQE broadcasts it) + one anti-join
+    against visited; only (node) / (node, depth) tuples move — never
+    payloads.  Early-exits when the frontier drains (deterministic:
+    emptiness is a property of the graph, not the partitioning).
+    Unreachable nodes are absent from the result, matching the
+    recursive-CTE oracle.
+
+    Like :func:`pagerank`, the RETURNED DataFrame is persisted (its
+    lineage is the whole frontier chain); the caller owns the unpersist,
+    or clears the cache between jobs like bench.py / check_oracles.py.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .persist()
+    )
+    dist.count()
+    frontier = dist.select("node")
+    prev = None  # previous round's persisted frontier base
+    for i in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("depth", F.lit(i))
+            .persist()
+        )
+        grew = nxt.count() > 0
+        if prev is not None:
+            prev.unpersist()
+        if not grew:
+            nxt.unpersist()
+            prev = None
+            break
+        new_dist = dist.union(nxt).persist()
+        new_dist.count()  # cut lineage before the next round
+        dist.unpersist()
+        dist = new_dist
+        frontier = nxt.select("node")
+        prev = nxt
+    if prev is not None:
+        prev.unpersist()
+    e.unpersist()
+    return dist
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

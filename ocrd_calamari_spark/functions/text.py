@@ -601,3 +601,155 @@ def domain_divergence(df, domain_col: str = "source",
         )
         .orderBy("domain")
     )
+
+
+def bigram_lm_scores(df, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """KenLM-style n-gram LM quality scoring, self-trained on the corpus:
+    per document, the mean conditional bigram probability
+    ``P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})`` under the corpus's
+    own MLE bigram model — the perplexity-proxy filter real pipelines run
+    (CCNet's LM stage) with the log/float replaced by a quantized-integer
+    form so the score is EXACT: each bigram contributes
+    ``floor(1e12 · c₂/c₁)`` (one IEEE-exact division + one exact-rounded
+    multiply), per-doc sums are BIGINTs (order-independent), and
+    ``lm_score = floor(Σq / n_bigrams)``.
+
+    Scale shape: train = two groupBys (map-side combined) over the token
+    stream; score = one shuffle join of per-doc bigram occurrences onto
+    the bigram-count table keyed by the gram (co-partitioned with the
+    unigram join via the leading token).  No Python, no collect — the
+    "model" never exists as a driver-side object, unlike KenLM's
+    monolithic ARPA file which stops fitting at web scale.
+
+    Returns (id, n_bigrams, lm_score); documents with < 2 tokens carry
+    ``n_bigrams = 0`` and a NULL score (nothing to condition on).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    c1 = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    # token array materialized once — lambdas referencing split(...)
+    # directly would re-split per element (quadratic in doc length)
+    grams = (
+        df.withColumn("_toks", F.split(F.lower(F.col(text_col)), " "))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.expr(
+                    """CASE WHEN size(`_toks`) >= 2
+                       THEN transform(
+                         sequence(1, size(`_toks`) - 1),
+                         i -> struct(
+                           element_at(`_toks`, i) AS w1,
+                           concat_ws(' ', element_at(`_toks`, i),
+                                     element_at(`_toks`, i + 1)) AS gram))
+                       ELSE array() END"""
+                )
+            ).alias("g"),
+        )
+        .select("id", F.col("g.w1").alias("w1"), F.col("g.gram").alias("gram"))
+    )
+    c2 = grams.groupBy("gram").agg(F.count("*").alias("c2"))
+    q = (
+        grams.join(c2, "gram")
+        .join(c1, grams["w1"] == c1["tok"])
+        .select(
+            "id",
+            F.floor(
+                F.lit(1e12) * (F.col("c2").cast("double")
+                               / F.col("c1").cast("double"))
+            ).alias("q"),
+        )
+    )
+    per_doc = q.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("q").alias("sum_q")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("int").alias(
+                "n_bigrams"),
+            F.floor(
+                F.col("sum_q").cast("double") / F.col("n_bigrams")
+            ).cast("bigint").alias("lm_score"),
+        )
+    )
+
+
+def cooccurrence_pmi(df, text_col: str = "text", window: int = 2,
+                     min_count: int = 5, top_k: int = 50):
+    """Top-k token associations by pointwise mutual information over a
+    ±``window`` co-occurrence relation — the word2vec-era association
+    miner (collocations, multi-word entities) as pure DataFrame algebra.
+
+    PMI's log is monotone, so ranking by the RATIO
+    ``p(a,b) / (p(a)·p(b)) = c_ab·N_tok² / (N_pair·c_a·c_b)`` is
+    rank-equivalent to PMI itself; numerator and denominator are exact
+    BIGINT products and the reported ``pmi_ratio`` is one IEEE-exact
+    division, so the result is hash-exact cross-engine.  (At 10^12
+    tokens the bigint products overflow — the production form moves to
+    log-space doubles and loses only bit-exactness of the REPORTED
+    ratio, not the ranking's determinism on distinct ratios; min_count
+    already prunes the noise floor where log-space error could reorder.)
+
+    Scale shape: pair generation is a pure per-row map (array zip, no
+    self-join — positions never leave the row); the only shuffles are the
+    pair/unigram groupBys (map-side combined) and the top-k is a
+    TakeOrdered, never a global sort.  Unordered pairs are canonicalized
+    ``least/greatest`` and self-pairs (a = b) dropped.
+    """
+    # token array materialized once per row — lambdas referencing
+    # split(...) directly would re-split per element (quadratic)
+    toks_e = "`_toks`"
+    parts = []
+    for d in range(1, window + 1):
+        parts.append(
+            f"""CASE WHEN size({toks_e}) >= {d + 1}
+                THEN transform(sequence(1, size({toks_e}) - {d}),
+                  i -> struct(
+                    least(element_at({toks_e}, i),
+                          element_at({toks_e}, i + {d})) AS a,
+                    greatest(element_at({toks_e}, i),
+                             element_at({toks_e}, i + {d})) AS b))
+                ELSE array() END"""
+        )
+    pairs_expr = f"concat({', '.join(parts)})"
+    pairs = (
+        df.withColumn("_toks", F.split(F.lower(F.col(text_col)), " "))
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .where(F.col("a") < F.col("b"))
+    )
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    )
+    c_tok = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n_tok = toks.agg(F.count("*").alias("n_tok"))
+    c_ab = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    n_pair = pairs.agg(F.count("*").alias("n_pair"))
+    out = (
+        c_ab.join(c_tok.select(F.col("tok").alias("a"),
+                               F.col("c").alias("c_a")), "a")
+        .join(c_tok.select(F.col("tok").alias("b"),
+                           F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+        .select(
+            "a", "b", "c_ab",
+            (
+                (F.col("c_ab") * F.col("n_tok") * F.col("n_tok"))
+                .cast("double")
+                / (F.col("n_pair") * F.col("c_a") * F.col("c_b"))
+                .cast("double")
+            ).alias("pmi_ratio"),
+        )
+    )
+    return out.orderBy(F.desc("pmi_ratio"), "a", "b").limit(top_k)

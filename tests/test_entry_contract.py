@@ -14,7 +14,9 @@ FAST_ORACLED = ["filter_project", "topk_per_lang", "join_revenue",
                 "decode_media", "resize_images", "frame_plan",
                 "exact_dup_groups", "repetition_quality", "decontaminate",
                 "domain_quota", "incremental_dedup", "bpe_pair_counts",
-                "domain_divergence", "inverted_index"]
+                "domain_divergence", "inverted_index",
+                "quality_classifier", "lm_quality", "crawl_depth",
+                "snapshot_diff"]
 
 
 @pytest.fixture(scope="module")

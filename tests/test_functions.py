@@ -1667,3 +1667,294 @@ class TestSimilaritySemantics:
         row = decode_media(df).collect()[0]
         assert row["error"] is not None and "int32" in row["error"]
         assert row["width"] is None  # error row, not silent wrap
+
+
+class TestBfsDepth:
+    def test_matches_python_bfs_on_deep_chain_graph(self, spark):
+        """A graph with real depth (two chains + a shortcut + a cycle +
+        an unreachable island) vs a plain python BFS — pins the frontier
+        -join semantics the shallow link-graph fixture can't reach, and
+        that min-depth wins when two paths of different length exist."""
+        from collections import deque
+
+        from ocrd_calamari_spark.functions.graph import bfs_depth
+
+        # chain 0→1→…→9, shortcut 0→5, cycle 9→0, island 100→101
+        pairs = (
+            [(i, i + 1) for i in range(9)]
+            + [(0, 5), (9, 0), (100, 101)]
+        )
+        edges = spark.createDataFrame(pairs, ["src", "dst"])
+        seeds = spark.createDataFrame([(0,)], ["node"])
+        got = {r.node: r.depth
+               for r in bfs_depth(edges, seeds, max_iters=20).collect()}
+
+        adj = {}
+        for s, d in pairs:
+            adj.setdefault(s, []).append(d)
+        ref, q = {0: 0}, deque([0])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, []):
+                if v not in ref:
+                    ref[v] = ref[u] + 1
+                    q.append(v)
+        assert got == ref  # island absent, shortcut wins, cycle ignored
+        spark.catalog.clearCache()
+
+    def test_max_iters_truncates_discovery(self, spark):
+        from ocrd_calamari_spark.functions.graph import bfs_depth
+
+        pairs = [(i, i + 1) for i in range(9)]
+        edges = spark.createDataFrame(pairs, ["src", "dst"])
+        seeds = spark.createDataFrame([(0,)], ["node"])
+        got = {r.node: r.depth
+               for r in bfs_depth(edges, seeds, max_iters=3).collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+        spark.catalog.clearCache()
+
+
+class TestTfCosineJoin:
+    @staticmethod
+    def _ref_pairs(docs, threshold, max_df=None):
+        """Plain-python TF cosine over the same tokenization."""
+        from collections import Counter
+
+        tf = {i: Counter(t.strip().lower().split()) for i, t in docs}
+        if max_df is not None:
+            df_ct = Counter(term for c in tf.values() for term in c)
+            tf = {
+                i: Counter({t: n for t, n in c.items()
+                            if df_ct[t] <= max_df})
+                for i, c in tf.items()
+            }
+        out = {}
+        ids = sorted(tf)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                dot = sum(tf[a][t] * tf[b][t] for t in tf[a] if t in tf[b])
+                na = sum(v * v for v in tf[a].values())
+                nb = sum(v * v for v in tf[b].values())
+                if dot and 10000 * dot * dot >= threshold ** 2 * na * nb:
+                    out[(a, b)] = (dot, dot * dot / (na * nb))
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from ocrd_calamari_spark.functions.dedup import tf_cosine_join
+
+        docs = [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat"),          # exact dup of 0
+            (2, "the cat sat on the red mat"),      # near dup
+            (3, "quantum flux capacitors hum"),     # unrelated
+            (4, "the the the the"),                 # degenerate repeat
+            (5, "cat cat mat mat sat sat"),         # same terms, diff tf
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(5)
+        got = {
+            (r.id_a, r.id_b): (r.dot, r.sim_sq)
+            for r in tf_cosine_join(df, threshold_pct=60).collect()
+        }
+        ref = self._ref_pairs(docs, 60)
+        assert got == ref  # bit-exact: integer dot + one IEEE division
+        assert (0, 1) in got and got[(0, 1)][1] == 1.0
+
+    def test_max_df_caps_vector_and_drops_all_capped_docs(self, spark):
+        from ocrd_calamari_spark.functions.dedup import tf_cosine_join
+
+        # 'the' appears in all 4 docs → df=4 > max_df=3 → capped out;
+        # doc 3 is ONLY stop-terms → drops out of the join entirely
+        docs = [
+            (0, "the apple pie recipe"),
+            (1, "the apple pie recipe"),
+            (2, "the apple tart recipe"),
+            (3, "the the the"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.id_a, r.id_b): (r.dot, r.sim_sq)
+            for r in tf_cosine_join(df, threshold_pct=60,
+                                    max_df=3).collect()
+        }
+        ref = self._ref_pairs(docs, 60, max_df=3)
+        assert got == ref
+        assert all(3 not in p for p in got)
+        # fractional cap: ceil(0.75 * 4 docs) = 3 → identical result
+        frac = {
+            (r.id_a, r.id_b): (r.dot, r.sim_sq)
+            for r in tf_cosine_join(df, threshold_pct=60,
+                                    max_df_frac=0.75).collect()
+        }
+        assert frac == got
+
+
+class TestHashedClassifier:
+    def test_score_is_sum_of_portable_hash_weights(self, spark):
+        """Spark fold == python md5 arithmetic on the same features
+        (unigrams + truncated-tail bigrams, single-space tokenization)."""
+        import hashlib
+
+        from ocrd_calamari_spark.functions.classify import (
+            WEIGHT_BINS, WEIGHT_SHIFT, hashed_linear_quality)
+
+        def w(feat: str) -> int:
+            h = int(hashlib.md5(feat.encode()).hexdigest()[:15], 16)
+            return h % WEIGHT_BINS - WEIGHT_SHIFT
+
+        docs = [(0, "Good clean prose here"), (1, "spam spam spam"),
+                (2, "single"), (3, "Two tokens")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r.doc_id: (r.n_feats, r.score, r.keep)
+               for r in hashed_linear_quality(df).collect()}
+        for i, text in docs:
+            toks = text.lower().split(" ")
+            grams = ([" ".join(toks[j:j + 2])
+                      for j in range(len(toks) - 1)] or [toks[0]])
+            feats = toks + grams
+            score = sum(w(f) for f in feats)
+            assert got[i] == (len(feats), score, int(score >= 0)), i
+
+    def test_bias_shifts_the_decision(self, spark):
+        from ocrd_calamari_spark.functions.classify import (
+            hashed_linear_quality)
+
+        df = spark.createDataFrame([(0, "alpha beta")], ["doc_id", "text"])
+        base = hashed_linear_quality(df).collect()[0]
+        shifted = hashed_linear_quality(df, bias=10 ** 9).collect()[0]
+        assert shifted.score == base.score + 10 ** 9
+        assert shifted.keep == 1
+
+
+class TestBigramLmScores:
+    def test_matches_python_mle_reference(self, spark):
+        """Spark quantized bigram-LM score == plain python on the same
+        corpus-trained MLE counts, including the <2-token NULL rule."""
+        import math
+        from collections import Counter
+
+        from ocrd_calamari_spark.functions.text import bigram_lm_scores
+
+        docs = [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on a log"),
+            (3, "one"),                      # no bigram → NULL score
+            (4, "zz yy zz yy zz"),           # unseen-elsewhere grams
+        ]
+        toks = {i: t.lower().split(" ") for i, t in docs}
+        c1 = Counter(w for ts in toks.values() for w in ts)
+        c2 = Counter(
+            (ts[j], ts[j + 1])
+            for ts in toks.values() for j in range(len(ts) - 1)
+        )
+        ref = {}
+        for i, ts in toks.items():
+            qs = [
+                math.floor(1e12 * (c2[(ts[j], ts[j + 1])] / c1[ts[j]]))
+                for j in range(len(ts) - 1)
+            ]
+            ref[i] = (len(qs),
+                      math.floor(sum(qs) / len(qs)) if qs else None)
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(3)
+        got = {r.id: (r.n_bigrams, r.lm_score)
+               for r in bigram_lm_scores(df).collect()}
+        assert got == ref
+        assert got[3] == (0, None)  # <2 tokens: nothing to condition on
+        # NOTE: unsmoothed MLE scores singleton continuations at 1.0
+        # (c2 == c1 == 1), so "rare text scores low" does NOT hold in
+        # general — only the exact parity above is the contract here
+        assert all(s is None or 0 <= s <= 10 ** 12
+                   for _, s in got.values())
+
+
+class TestCooccurrencePmi:
+    def test_matches_python_reference(self, spark):
+        """Spark ±2-window PMI ratios == plain python (same canonical
+        pair rule: least/greatest, self-pairs dropped, min_count)."""
+        from collections import Counter
+
+        from ocrd_calamari_spark.functions.text import cooccurrence_pmi
+
+        docs = [(i, "new york city hosts new york events") for i in range(4)]
+        docs += [(10 + i, "red fish blue fish") for i in range(4)]
+        toks = [t.lower().split(" ") for _, t in docs]
+        pairs = Counter()
+        for ts in toks:
+            for d in (1, 2):
+                for j in range(len(ts) - d):
+                    a, b = sorted((ts[j], ts[j + d]))
+                    if a != b:
+                        pairs[(a, b)] += 1
+        n_pair = sum(
+            1
+            for ts in toks for d in (1, 2)
+            for j in range(len(ts) - d)
+            if ts[j] != ts[j + d]
+        )
+        c_tok = Counter(w for ts in toks for w in ts)
+        n_tok = sum(c_tok.values())
+        ref = {
+            p: (c, (c * n_tok * n_tok) / (n_pair * c_tok[p[0]] * c_tok[p[1]]))
+            for p, c in pairs.items() if c >= 5
+        }
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        rows = cooccurrence_pmi(df, min_count=5, top_k=50).collect()
+        got = {(r.a, r.b): (r.c_ab, r.pmi_ratio) for r in rows}
+        assert got == ref
+        # ranking is by ratio desc with (a, b) tie-break
+        ratios = [(r.pmi_ratio, r.a, r.b) for r in rows]
+        assert ratios == sorted(ratios, key=lambda t: (-t[0], t[1], t[2]))
+
+
+class TestLeakageSafeSplit:
+    def test_no_neardup_pair_straddles_splits(self, spark):
+        """The guarded split's contract: every exact-Jaccard pair (the
+        SAME pair relation the query composes over) lands in ONE split,
+        while singletons keep their plain per-id hash assignment."""
+        from ocrd_calamari_spark.entry_queries import (
+            q_leakage_safe_split, q_train_test_split)
+
+        sf = "/root/testdata/sf0.001"
+        out = q_leakage_safe_split(spark, sf)
+        rows = out.collect()
+        split_of = {r.doc_id: r.split for r in rows}
+        comp_of = {r.doc_id: r.component for r in rows}
+
+        from ocrd_calamari_spark.entry_queries import q_jaccard_dedup
+        pairs = [(r.id_a, r.id_b)
+                 for r in q_jaccard_dedup(spark, sf).collect()]
+        assert pairs, "fixture must contain near-dup pairs"
+        for a, b in pairs:
+            assert split_of[a] == split_of[b], (a, b)
+            assert comp_of[a] == comp_of[b], (a, b)
+
+        # singletons (not in any pair) must match the unguarded split
+        plain = {r.doc_id: r.split
+                 for r in q_train_test_split(spark, sf).collect()}
+        in_pair = {x for p in pairs for x in p}
+        for d, s in split_of.items():
+            if d not in in_pair and d in plain:
+                assert s == plain[d], d
+        spark.catalog.clearCache()
+
+
+class TestSnapshotDiff:
+    def test_change_classes_follow_the_derivation_rules(self, spark):
+        from ocrd_calamari_spark.entry_queries import q_snapshot_diff
+
+        rows = q_snapshot_diff(spark, "/root/testdata/sf0.001").collect()
+        got = {r.doc_id: r.change_type for r in rows}
+        for d, c in got.items():
+            if d >= 2000000:
+                assert c == "removed", d
+            elif d % 11 == 0:
+                assert c == "added", d
+            elif d % 5 == 1:
+                assert c == "changed", d
+            else:
+                assert c == "unchanged", d
+        assert {"added", "removed", "changed", "unchanged"} == set(
+            got.values())

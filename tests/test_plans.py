@@ -343,3 +343,28 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS bk_a")
             spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+class TestRound4NewOpPlans:
+    def test_classifier_score_is_zero_shuffle_map(self, spark):
+        """The hashed linear classifier is a pure per-row JVM fold: scan →
+        project, no Exchange, no Python evaluator anywhere."""
+        from ocrd_calamari_spark.functions.classify import (
+            hashed_linear_quality)
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(hashed_linear_quality(d), "simple")
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # no UDF fallback
+
+    def test_tf_cosine_join_is_equi_joins_only(self, spark):
+        """The cosine pair join must stay an equi-join on the term (the
+        a.id < b.id predicate is a residual, not a join strategy change)
+        with map-side partial aggregation of the dot products."""
+        from ocrd_calamari_spark.functions.dedup import tf_cosine_join
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(tf_cosine_join(d, max_df=100), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "partial_sum" in plan_of(tf_cosine_join(d, max_df=100))
