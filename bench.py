@@ -70,6 +70,9 @@ HEADLINE = [
     "bm25_search",
     "bpe_pair_counts",
     "domain_divergence",
+    "sparse_cosine_join",
+    "lm_quality",
+    "pmi_pairs",
 ]
 
 
