@@ -3972,6 +3972,166 @@ ORDER BY zkey, event_id
 """
 
 
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-token training-shard placement (functions/layout.py:
+    shard_assign): serpentine round-robin over the token-count-descending
+    global rank — per-shard totals come out near-equal without a bin-
+    packing solver.  The rank is the DISTRIBUTED prefix sum, never a
+    single-task global-order window; only (id, n_tokens) pairs move.
+    Output: one row per shard with its doc count and token total."""
+    from ocrd_calamari_spark.functions.layout import shard_assign
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(token_count_sql("text")).cast("long").alias("w"),
+    )
+    s = shard_assign(d, "doc_id", "w", n_shards=8)
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _shard_assign_sql() -> str:
+    from ocrd_calamari_spark.functions.text import token_count_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST({token_count_sql('text')} AS BIGINT) AS w
+  FROM documents
+), r AS (
+  SELECT w, row_number() OVER (ORDER BY w DESC, doc_id) - 1 AS r0
+  FROM t
+), s AS (
+  SELECT w,
+         CAST(CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+              ELSE 7 - (r0 % 8) END AS BIGINT) AS shard
+  FROM r
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS total_tokens
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
+def q_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters keep their HIGHEST-QUALITY member
+    (functions/dedup.py:keep_best), not the arbitrary min-id — the
+    representative choice that decides final corpus quality.  Compose:
+    exact-Jaccard pairs (same operating point as `jaccard_dedup`) →
+    connected components → quality argmax per component via a map-side
+    `max_by` aggregation (a mega-cluster never sorts in one task, unlike
+    a per-component row_number window).  Singletons keep themselves."""
+    from ocrd_calamari_spark.functions.dedup import (
+        connected_components, jaccard_index_dedup, keep_best)
+    from ocrd_calamari_spark.functions.text import quality_score
+
+    corpus = _with_injected_dups(spark, sf_dir)
+    pairs = jaccard_index_dedup(corpus, threshold=0.5, shingle_k=3)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    members = (
+        corpus.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+            quality_score("text").alias("q"),
+        )
+    )
+    return keep_best(members, "doc_id", "component", "q").select(
+        "doc_id", "component", "q", "kept"
+    ).orderBy("doc_id")
+
+
+def _keep_best_sql() -> str:
+    from ocrd_calamari_spark.functions.text import quality_score_sql
+
+    return rf"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+  FROM documents WHERE doc_id < 40
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tokens[i:i+2], ' ')
+                        for i in range(1, greatest(len(tokens)-2, 1)+1)]) AS s
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM corpus)
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1e0
+          / len(list_distinct(list_concat(a.s, b.s))) >= 5e-1
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b, id_a FROM p
+), nodes AS (
+  SELECT DISTINCT a AS v FROM edges
+), reach(v, lbl) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.v
+), comp AS (
+  SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+  FROM reach GROUP BY v
+), members AS (
+  SELECT c.doc_id, COALESCE(k.component, c.doc_id) AS component,
+         {quality_score_sql('c.text')} AS q
+  FROM corpus c LEFT JOIN comp k USING (doc_id)
+)
+SELECT doc_id, component, q,
+       (row_number() OVER (PARTITION BY component
+                           ORDER BY q DESC, doc_id) = 1) AS kept
+FROM members ORDER BY doc_id
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic Bernoulli sampling
+    (functions/profile.py:weighted_sample): keep rate per DOCUMENT ∝ its
+    quality score (the importance-resampling step of classifier-pruned
+    corpora; `mixture_sample` is the per-source special case).  Pure
+    row-local map+filter — no shuffle; the portable md5 hash makes the
+    kept set reproducible across engines."""
+    from ocrd_calamari_spark.functions.dedup import PORTABLE_TOKEN_HASH_SQL
+    from ocrd_calamari_spark.functions.profile import weighted_sample
+    from ocrd_calamari_spark.functions.text import quality_score_sql
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.expr(
+            "cast(least(floor((" + quality_score_sql("text")
+            + ") * 1e3), 1e3) as bigint)"
+        ).alias("w"),
+    )
+    return weighted_sample(
+        scored, "doc_id", "w", den=1000, hash_sql=PORTABLE_TOKEN_HASH_SQL
+    ).orderBy("doc_id")
+
+
+def _weighted_sample_sql() -> str:
+    from ocrd_calamari_spark.functions.text import quality_score_sql
+
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(least(floor(({quality_score_sql('text')}) * 1e3), 1e3)
+              AS BIGINT) AS w
+  FROM documents
+)
+SELECT doc_id, w FROM s
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 1000 < w
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4033,6 +4193,9 @@ QUERIES = {
     "pmi_pairs": q_pmi_pairs,
     "leakage_safe_split": q_leakage_safe_split,
     "snapshot_diff": q_snapshot_diff,
+    "shard_assign": q_shard_assign,
+    "keep_best_dedup": q_keep_best_dedup,
+    "weighted_sample": q_weighted_sample,
     # --- extraction family (rows-only by nature; golden contract above)
     "extract_pages": q_extract_pages,
     "extract_word_spans": q_extract_word_spans,
@@ -4104,6 +4267,9 @@ ORACLES = {
     "pmi_pairs": PMI_PAIRS_SQL,
     "leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "snapshot_diff": _snapshot_diff_sql(),
+    "shard_assign": _shard_assign_sql(),
+    "keep_best_dedup": _keep_best_sql(),
+    "weighted_sample": _weighted_sample_sql(),
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

@@ -920,3 +920,43 @@ def simhash_near_dupes(df: DataFrame, id_col: str = "doc_id",
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster representative selection: keep the BEST member of each dup
+# cluster (quality argmax), not the arbitrary min-id — the rep choice
+# that decides final corpus quality once near-dup clusters exist.
+# ---------------------------------------------------------------------------
+def keep_best(
+    members: "DataFrame",
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    score_col: str = "score",
+) -> "DataFrame":
+    """``members`` (id, component, score) -> the same rows plus ``kept``
+    (true for exactly one row per component: the max-score member, ties
+    broken toward the LOWER id).
+
+    The argmax is a ``max_by`` aggregation over a (score, -id) struct —
+    lexicographic struct max == score desc / id asc — so it partial-
+    aggregates map-side and never materializes a cluster in one buffer:
+    a 10^9-member mega-cluster costs one 2-field struct per partition,
+    where a per-component ``row_number`` window would sort all 10^9 rows
+    in a single task.  The kept-id table is component-cardinality; the
+    flag returns via one component-key join (broadcast when small —
+    AQE decides).
+    """
+    best = members.groupBy(comp_col).agg(
+        F.max_by(
+            id_col,
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("negid"),
+            ),
+        ).alias("_keep_id")
+    )
+    return (
+        members.join(best, comp_col)
+        .withColumn("kept", F.col(id_col) == F.col("_keep_id"))
+        .drop("_keep_id")
+    )

@@ -77,3 +77,75 @@ def zorder_layout(
     parts = keyed.repartitionByRange(n_files, "_z") if n_files is not None \
         else keyed.repartitionByRange("_z")
     return parts.sortWithinPartitions("_z").drop("_z")
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    n_shards: int = 16,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Balance rows into ``n_shards`` near-equal-total-weight output
+    shards — the training-shard writer's placement step ("N output files
+    of ~equal token counts"), reference position: the sink's flat
+    one-file-per-page layout (``recognize.py:360`` save_mets appends
+    per-page outputs with no size balancing).
+
+    Serpentine (boustrophedon) round-robin over the weight-DESCENDING
+    global rank: rank r (1-based) lands in pass ``(r-1)//N``; even passes
+    walk shards 0..N-1, odd passes walk N-1..0, so each pair of passes
+    gives every shard one larger-half and one smaller-half row — the
+    classic one-pass approximation of LPT bin packing (imbalance bounded
+    by one pass's weight spread, vs a full pass's for plain round-robin).
+
+    Scale shape: only (id, weight) pairs ever move — never payloads.  The
+    global rank is NOT a global-order window (single task): the ordering
+    key ``(max_w - w) * C + (id - min_id)`` (C = id range; ascending key
+    == weight desc, id asc) feeds the distributed prefix-sum
+    (``packed_offsets`` with weight 1 = exclusive rank): range-bucket →
+    tiny subtotal table → within-bucket window.  ``n_buckets`` defaults
+    to ``min(max_w + 1, 4096)`` so bucket width stays <= C and a hot
+    weight value (many same-length docs) still subdivides across its
+    id-dense band instead of funneling into one bucket.  ``max_w * C``
+    must fit int64 — at 10^12 dense ids that allows weights to ~9 * 10^6,
+    far above any document token count; quantize coarser weights first if
+    not.  Rows: ids must be unique; weights non-negative ints.
+
+    Returns ``df`` plus ``rank`` and ``shard`` (both long).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    from ocrd_calamari_spark.functions.text import packed_offsets
+
+    # bounded scalar collect: 3 values (weight/id extremes)
+    r = df.agg(
+        F.max(weight_col).alias("mw"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+    ).collect()[0]
+    if r["mw"] is None:  # empty input: keep the output schema
+        return df.withColumn("rank", F.lit(0).cast("long")).withColumn(
+            "shard", F.lit(0).cast("long")
+        )
+    mw, lo = int(r["mw"]), int(r["lo"])
+    span = int(r["hi"]) - lo + 1
+    keyed = df.withColumn(
+        "_ord",
+        ((F.lit(mw) - F.col(weight_col)).cast("long") * F.lit(span)
+         + (F.col(id_col) - F.lit(lo)).cast("long")),
+    )
+    if n_buckets is None:
+        n_buckets = max(64, min(mw + 1, 4096))
+    ranked = packed_offsets(
+        keyed.withColumn("_one", F.lit(1).cast("long")),
+        "_ord", "_one", n_buckets=n_buckets,
+    ).withColumn("rank", (F.col("_start_offset") + 1).cast("long"))
+    r0 = F.col("rank") - 1
+    pos = F.pmod(r0, F.lit(n_shards))
+    serpent = F.when(
+        F.pmod(F.floor(r0 / F.lit(n_shards)), F.lit(2)) == 0, pos
+    ).otherwise(F.lit(n_shards - 1) - pos)
+    return ranked.withColumn("shard", serpent.cast("long")).drop(
+        "_ord", "_one", "_start_offset"
+    )

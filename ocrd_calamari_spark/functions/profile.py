@@ -128,3 +128,35 @@ def histogram_quantiles(
         for name, q in qs.items()
     ]
     return h.groupBy(group_col).agg(*aggs)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    den: int = 1000,
+    hash_sql: str | None = None,
+) -> DataFrame:
+    """Per-document weighted Bernoulli sampling: keep a row iff
+    ``hash(id) % den < weight`` — deterministic importance resampling
+    (the classifier-score-proportional subsampling step of quality-
+    pruned corpora; the per-DOCUMENT generalization of
+    ``mixture_sample``'s per-source rates).
+
+    Membership is a pure function of the id and its weight: retries,
+    resume, cluster size, and corpus growth never reshuffle the kept
+    set, and E[kept] = mean(weight)/den exactly.  Row-local map+filter —
+    no shuffle, no state; weights must be ints in [0, den] (den keeps
+    everything, 0 drops).
+
+    ``hash_sql``: SQL template ({t} = id-as-string expression); default
+    xxhash64 (fast); pass the portable md5 template when an external
+    system must reproduce the sample.
+    """
+    tmpl = hash_sql or "abs(xxhash64({t}))"
+    h = F.expr(
+        "pmod(" + tmpl.format(t=f"cast({id_col} as string)") + f", {den})"
+    )
+    return df.withColumn("_h", h).where(
+        F.col("_h") < F.col(weight_col)
+    ).drop("_h")

@@ -1958,3 +1958,147 @@ class TestSnapshotDiff:
                 assert c == "unchanged", d
         assert {"added", "removed", "changed", "unchanged"} == set(
             got.values())
+
+
+class TestShardAssign:
+    def _reference(self, rows, n_shards):
+        # python reference: serpentine round-robin over (w desc, id asc)
+        order = sorted(rows, key=lambda r: (-r[1], r[0]))
+        out = {}
+        for r0, (i, w) in enumerate(order):
+            pos = r0 % n_shards
+            shard = pos if (r0 // n_shards) % 2 == 0 else n_shards - 1 - pos
+            out[i] = (r0 + 1, shard)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        rows = [(i, (i * 7919) % 97 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        from ocrd_calamari_spark.functions.layout import shard_assign
+
+        got = {
+            r["doc_id"]: (r["rank"], r["shard"])
+            for r in shard_assign(df, "doc_id", "w", n_shards=7).collect()
+        }
+        assert got == self._reference(rows, 7)
+
+    def test_skewed_weights_and_sparse_ids(self, spark):
+        # one hot weight value (half the corpus) + ids far from zero —
+        # the regimes the ord-key bucketing must not funnel or overflow
+        rows = [(10_000_000 + i * 13, 50 if i % 2 else i % 40 + 1)
+                for i in range(300)]
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        from ocrd_calamari_spark.functions.layout import shard_assign
+
+        got = {
+            r["doc_id"]: (r["rank"], r["shard"])
+            for r in shard_assign(df, "doc_id", "w", n_shards=8).collect()
+        }
+        assert got == self._reference(rows, 8)
+
+    def test_balance_beats_weight_spread(self, spark):
+        # serpentine guarantee: shard totals differ by at most the
+        # heaviest row (loose LPT-style bound, exact check via totals)
+        rows = [(i, (i * 31) % 200 + 1) for i in range(500)]
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        from ocrd_calamari_spark.functions.layout import shard_assign
+
+        totals = (
+            shard_assign(df, "doc_id", "w", n_shards=8)
+            .groupBy("shard").agg(F.sum("w").alias("t")).collect()
+        )
+        ts = [r["t"] for r in totals]
+        assert len(ts) == 8
+        assert max(ts) - min(ts) <= 200  # <= max weight
+
+    def test_empty_input_keeps_schema(self, spark):
+        df = spark.createDataFrame([], "doc_id long, w long")
+        from ocrd_calamari_spark.functions.layout import shard_assign
+
+        out = shard_assign(df, "doc_id", "w", n_shards=4)
+        assert out.count() == 0
+        assert {"rank", "shard"} <= set(out.columns)
+
+
+class TestKeepBest:
+    def test_argmax_with_tie_break(self, spark):
+        rows = [
+            (1, 100, 0.5), (2, 100, 0.9), (3, 100, 0.9),  # tie: keep id 2
+            (7, 7, 0.1),                                   # singleton
+            (8, 200, 0.3), (9, 200, 0.2),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "component", "score"])
+        from ocrd_calamari_spark.functions.dedup import keep_best
+
+        kept = {
+            r["doc_id"]
+            for r in keep_best(df, score_col="score").collect()
+            if r["kept"]
+        }
+        assert kept == {2, 7, 8}
+
+    def test_exactly_one_kept_per_component(self, spark):
+        rows = [(i, i % 9, float((i * 37) % 11) / 11) for i in range(120)]
+        df = spark.createDataFrame(rows, ["doc_id", "component", "score"])
+        from ocrd_calamari_spark.functions.dedup import keep_best
+
+        out = keep_best(df, score_col="score")
+        per_comp = (
+            out.where("kept").groupBy("component").count().collect()
+        )
+        assert len(per_comp) == 9
+        assert all(r["count"] == 1 for r in per_comp)
+        assert out.count() == 120  # all members returned, flag only
+
+    def test_plan_has_no_per_component_window(self, spark):
+        """The mega-cluster safety property: argmax must be a (partial)
+        aggregation, never a per-component sort window."""
+        rows = [(1, 100, 0.5), (2, 100, 0.9)]
+        df = spark.createDataFrame(rows, ["doc_id", "component", "score"])
+        from ocrd_calamari_spark.functions.dedup import keep_best
+
+        plan = keep_best(df, score_col="score")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Window" not in plan
+        assert "max_by" in plan or "Aggregate" in plan
+
+
+class TestWeightedSample:
+    def test_boundary_weights(self, spark):
+        rows = [(i, 0) for i in range(50)] + [(50 + i, 1000) for i in range(50)]
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        from ocrd_calamari_spark.functions.profile import weighted_sample
+
+        kept = weighted_sample(df, "doc_id", "w", den=1000)
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == list(range(50, 100))  # w=0 drops all, w=den keeps all
+
+    def test_matches_md5_reference(self, spark):
+        import hashlib
+
+        rows = [(i, (i * 131) % 1001) for i in range(400)]
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        from ocrd_calamari_spark.functions.dedup import PORTABLE_TOKEN_HASH_SQL
+        from ocrd_calamari_spark.functions.profile import weighted_sample
+
+        kept = weighted_sample(
+            df, "doc_id", "w", den=1000, hash_sql=PORTABLE_TOKEN_HASH_SQL
+        )
+        got = sorted(r["doc_id"] for r in kept.collect())
+        exp = [
+            i for i, w in rows
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            % 1000 < w
+        ]
+        assert got == exp
+
+    def test_deterministic_across_runs(self, spark):
+        rows = [(i, 500) for i in range(300)]
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        from ocrd_calamari_spark.functions.profile import weighted_sample
+
+        a = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w").collect())
+        b = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w").collect())
+        assert a == b
+        # rate sanity: ~50% at w=500
+        assert 100 < len(a) < 200

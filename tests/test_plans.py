@@ -368,3 +368,15 @@ class TestRound4NewOpPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "partial_sum" in plan_of(tf_cosine_join(d, max_df=100))
+
+
+class TestShardAssignPlan:
+    def test_global_rank_window_is_partitioned(self, spark):
+        """shard_assign's global rank must ride the distributed prefix
+        sum: every big-side window carries the range-bucket partition
+        key; the only unpartitioned window is the subtotal-table prefix
+        (n_buckets rows, bounded by construction)."""
+        from ocrd_calamari_spark.entry_queries import q_shard_assign
+
+        plan = plan_of(q_shard_assign(spark, SF), "simple")
+        assert "windowspecdefinition(_bkt" in plan
