@@ -4132,6 +4132,32 @@ ORDER BY doc_id
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key shuffle diagnostic (functions/profile.py:skew_report): the
+    15 heaviest join-key groups with exact integer share (basis points)
+    and mean-multiple — the pre-flight check that decides salting / AQE
+    skew handling before a 100 TB shuffle.  Per-key counts partial-agg
+    map-side; totals are a 1-row broadcast; top-k is TakeOrdered."""
+    from ocrd_calamari_spark.functions.profile import skew_report
+
+    d = _t(spark, sf_dir, "events")
+    return skew_report(d, "user_id", top_k=15).orderBy("rank")
+
+
+SKEW_REPORT_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS nkeys FROM c
+)
+SELECT user_id, n,
+       CAST(floor(n * 10000 / tot) AS BIGINT) AS share_bp,
+       CAST(floor(n * 100 * nkeys / tot) AS BIGINT) AS mult_x100,
+       CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rank
+FROM c, t ORDER BY n DESC, user_id LIMIT 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4196,6 +4222,7 @@ QUERIES = {
     "shard_assign": q_shard_assign,
     "keep_best_dedup": q_keep_best_dedup,
     "weighted_sample": q_weighted_sample,
+    "skew_report": q_skew_report,
     # --- extraction family (rows-only by nature; golden contract above)
     "extract_pages": q_extract_pages,
     "extract_word_spans": q_extract_word_spans,
@@ -4270,6 +4297,7 @@ ORACLES = {
     "shard_assign": _shard_assign_sql(),
     "keep_best_dedup": _keep_best_sql(),
     "weighted_sample": _weighted_sample_sql(),
+    "skew_report": SKEW_REPORT_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

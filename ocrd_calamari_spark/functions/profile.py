@@ -160,3 +160,47 @@ def weighted_sample(
     return df.withColumn("_h", h).where(
         F.col("_h") < F.col(weight_col)
     ).drop("_h")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Hot-key diagnostic for a prospective join/aggregation key: the
+    ``top_k`` heaviest keys with exact share and skew multipliers —
+    what you run BEFORE a 100 TB shuffle to decide whether the key
+    needs salting / AQE skew handling.
+
+    Output per hot key: ``n`` (rows), ``share_bp`` (basis points of all
+    rows, floor-quantized), ``mult_x100`` (multiple of the mean group
+    size, x100 floor-quantized), ``rank``.  All integers — exact at any
+    scale, no float drift.
+
+    Scale shape: per-key counts partial-aggregate map-side (the shuffle
+    carries key-cardinality rows, not input rows); the totals are a
+    1-row broadcast crossJoin; top-k is a TakeOrdered (O(k) per
+    partition, no global sort).  Ties break on the key value so the
+    report is deterministic.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("_tot"), F.count("*").alias("_nkeys")
+    )
+    top = (
+        counts.crossJoin(F.broadcast(totals))
+        .orderBy(F.desc("n"), F.asc(key_col))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc(key_col))
+    return top.select(
+        F.col(key_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(F.col("n") * 10000 / F.col("_tot"))
+        .cast("bigint").alias("share_bp"),
+        F.floor(F.col("n") * 100 * F.col("_nkeys") / F.col("_tot"))
+        .cast("bigint").alias("mult_x100"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

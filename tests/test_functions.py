@@ -2102,3 +2102,36 @@ class TestWeightedSample:
         assert a == b
         # rate sanity: ~50% at w=500
         assert 100 < len(a) < 200
+
+
+class TestSkewReport:
+    def test_exact_shares_and_tie_break(self, spark):
+        # key 7 holds 6 of 12 rows: share 5000 bp, 2.00x the mean group
+        # size (12 rows / 4 keys = 3)
+        rows = [(7,)] * 6 + [(1,)] * 2 + [(2,)] * 2 + [(3,)] * 2
+        df = spark.createDataFrame(rows, ["k"])
+        from ocrd_calamari_spark.functions.profile import skew_report
+
+        got = {r["k"]: r for r in skew_report(df, "k", top_k=4).collect()}
+        assert got[7]["n"] == 6 and got[7]["rank"] == 1
+        assert got[7]["share_bp"] == 5000
+        assert got[7]["mult_x100"] == 200  # 6 / (12/4 mean) = 2.00x
+        # equal-count keys rank by key value
+        assert [got[k]["rank"] for k in (1, 2, 3)] == [2, 3, 4]
+
+    def test_topk_bounds_output(self, spark):
+        rows = [(i % 50,) for i in range(500)]
+        df = spark.createDataFrame(rows, ["k"])
+        from ocrd_calamari_spark.functions.profile import skew_report
+
+        assert skew_report(df, "k", top_k=7).count() == 7
+
+    def test_plan_broadcasts_totals_and_takes_ordered(self, spark):
+        rows = [(i % 5,) for i in range(100)]
+        df = spark.createDataFrame(rows, ["k"])
+        from ocrd_calamari_spark.functions.profile import skew_report
+
+        plan = skew_report(df, "k", top_k=3)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "TakeOrderedAndProject" in plan
