@@ -284,3 +284,117 @@ def hourly_host_stats_stream(
         )
         .select(F.col("w.start").alias("hour_start"), "host", "n_docs", "bytes_in")
     )
+
+
+def stateful_neardup_dedup(docs: DataFrame, id_col: str = "url",
+                           text_col: str = "text", max_hamming: int = 3,
+                           ttl_seconds: float | None = None,
+                           _clock=None) -> DataFrame:
+    """Cross-micro-batch NEAR-duplicate detection — the streaming twin of
+    ``simhash_near_dupes`` (template-churn recrawls where the byte-exact
+    ``stateful_url_dedup`` misses).
+
+    Banding: the 64-bit SimHash (computed JVM-side, one fold) splits into
+    4 x 16-bit chunks; any pair within Hamming <= 3 shares at least one
+    exact chunk (pigeonhole — exact recall, like the batch operator), so
+    each doc routes to 4 state groups keyed by (band, chunk) and a doc is
+    a near-dup iff ANY of its groups holds a prior signature within
+    ``max_hamming``.  Output is one row per (doc, band) with the band's
+    verdict; ``neardup_kept`` gives the per-doc AND — run it inside
+    ``foreachBatch`` (a doc's 4 band rows always land in the same
+    micro-batch, so the batch-side groupBy is complete) or on the sink.
+
+    Within-batch determinism: each group scans its rows sorted by
+    ``id_col``, so of a same-batch dup pair the LOWER id is fresh in
+    every band and the higher id is flagged — the same min-id-kept
+    convention as the batch dedup family (unsorted scans could flag each
+    member in a different band and drop BOTH).
+
+    State per group = (sig, first-seen ts) arrays; group cardinality is
+    bounded by construction (4 x 2^16 keys) and each group holds the
+    sigs sharing one 16-bit chunk (~n/2^16 per band under uniform
+    hashing — the Hamming scan per row is over that sliver, not the
+    corpus).  ``ttl_seconds`` bounds state on endless streams exactly as
+    in ``stateful_url_dedup`` (eviction on every group invocation; no
+    processing-time timers — they break availableNow termination, see
+    that docstring).  Signatures are content hashes, so state survives
+    restarts meaningfully (no PYTHONHASHSEED hazard).
+    """
+    import time
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ocrd_calamari_spark.functions.dedup import simhash
+
+    out_schema = f"{id_col} string, band int, dup boolean"
+    state_schema = "sigs array<long>, first_ts array<long>"
+    ttl_ms = None if ttl_seconds is None else max(1, int(ttl_seconds * 1000))
+    now_fn = _clock if _clock is not None else time.time
+    k = max_hamming
+    MASK64 = (1 << 64) - 1
+
+    def _scan(key, pdfs, state):
+        import pandas as pd
+
+        now_ms = int(now_fn() * 1000)
+        if state.exists:
+            sigs, stamps = state.get
+            if ttl_ms is not None:
+                cutoff = now_ms - ttl_ms
+                kept = [(s, t) for s, t in zip(sigs, stamps) if t >= cutoff]
+                seen = dict(kept)
+            else:
+                seen = dict(zip(sigs, stamps))
+        else:
+            seen = {}
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            out_dup = []
+            for sig in pdf["_sig"]:
+                sig = int(sig)
+                dup = any(
+                    (((sig ^ s) & MASK64).bit_count()) <= k for s in seen
+                )
+                out_dup.append(dup)
+                if sig not in seen:
+                    seen[sig] = now_ms
+            out = pdf[[id_col]].copy()
+            out["band"] = int(key[0]) >> 16
+            out["dup"] = out_dup
+            yield out
+        if seen:
+            state.update((list(seen.keys()), list(seen.values())))
+        elif state.exists:
+            state.remove()
+
+    sig = simhash(text_col)
+    banded = (
+        docs.select(F.col(id_col), sig.alias("_sig"))
+        .select(
+            id_col, "_sig",
+            F.explode(
+                F.array(*[
+                    (F.lit(i * 65536)
+                     + (F.shiftrightunsigned("_sig", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF)))).cast("long")
+                    for i in range(4)
+                ])
+            ).alias("band_key"),
+        )
+    )
+    return banded.groupBy("band_key").applyInPandasWithState(
+        _scan, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def neardup_kept(banded: DataFrame, id_col: str = "url") -> DataFrame:
+    """Per-doc verdict over ``stateful_neardup_dedup`` band rows: a doc
+    is kept iff NO band flagged it.  Batch-side aggregation — call on a
+    ``foreachBatch`` DataFrame or a drained sink, where every doc's 4
+    band rows are present."""
+    return (
+        banded.groupBy(id_col)
+        .agg((F.max(F.col("dup").cast("int")) == 0).alias("kept"))
+    )

@@ -315,3 +315,135 @@ class TestStatefulSessionize:
         assert (4, 5000, 5000, 1) in got
         assert not any(u == 99 for (u, *_1) in got)  # pusher stays open
         assert len(rows) == len(got) == 7    # nothing emitted twice
+
+
+class TestStreamingNearDup:
+    """stateful_neardup_dedup: SimHash-banded cross-batch near-dup
+    detection with pigeonhole-exact recall (streaming twin of
+    simhash_near_dupes)."""
+
+    def _docs_pdf(self, rows):
+        import pandas as pd
+
+        return pd.DataFrame(rows, columns=["url", "text"])
+
+    def _write(self, pdf, path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       str(path))
+
+    def _stream(self, spark, in_dir):
+        return (
+            spark.readStream.schema("url string, text string")
+            .option("maxFilesPerTrigger", 1).parquet(str(in_dir))
+        )
+
+    def _run(self, spark, in_dir, ckpt, out_dir, **kw):
+        from ocrd_calamari_spark.streaming import stateful_neardup_dedup
+
+        banded = stateful_neardup_dedup(self._stream(spark, in_dir), **kw)
+        q = (banded.writeStream.format("parquet")
+             .option("path", str(out_dir))
+             .option("checkpointLocation", str(ckpt))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def test_cross_batch_exact_and_fresh(self, spark, tmp_path):
+        from ocrd_calamari_spark.streaming import neardup_kept
+
+        base = [
+            (f"u{i:03d}", f"document number {i} about topic {i % 7} with "
+                          f"unique content marker alpha{i} beta{i * 3}")
+            for i in range(40)
+        ]
+        recrawl = [(f"r{i:03d}", base[i][1]) for i in range(10)]  # exact text
+        fresh = [(f"n{i:03d}", f"entirely new crawl content page {i} "
+                               f"gamma{i * 11} delta{i * 13}")
+                 for i in range(10)]
+        in_dir = tmp_path / "in"; in_dir.mkdir()
+        self._write(self._docs_pdf(base), in_dir / "d1.parquet")
+        self._write(self._docs_pdf(recrawl + fresh), in_dir / "d2.parquet")
+        self._run(spark, in_dir, tmp_path / "ckpt", tmp_path / "out")
+        banded = spark.read.parquet(str(tmp_path / "out"))
+        assert banded.count() == 60 * 4  # one row per (doc, band)
+        verdicts = {r["url"]: r["kept"]
+                    for r in neardup_kept(banded).collect()}
+        assert all(verdicts[u] for u, _ in base)
+        assert not any(verdicts[u] for u, _ in recrawl)  # hamming-0 dups
+        assert all(verdicts[u] for u, _ in fresh)
+
+    def test_matches_signature_level_reference(self, spark, tmp_path):
+        """Streaming verdicts must equal the python reference computed
+        from the SAME JVM signatures: doc flagged iff an earlier doc
+        (prior batch, or lower id within the batch) is within Hamming
+        <= 3 — pigeonhole banding adds no misses and no false hits."""
+        from ocrd_calamari_spark.functions.dedup import simhash
+        from ocrd_calamari_spark.streaming import neardup_kept
+
+        d1 = [(f"a{i:02d}", f"shared boilerplate header text page {i} "
+                            f"item{i} value{i * 7} tail{i * 31}")
+              for i in range(25)]
+        # one-token perturbations of batch-1 texts: hamming varies —
+        # near or not is DERIVED from the sigs, never assumed
+        d2 = [(f"b{i:02d}", d1[i][1].replace(f"item{i}", f"item{i}x"))
+              for i in range(25)]
+        in_dir = tmp_path / "in"; in_dir.mkdir()
+        self._write(self._docs_pdf(d1), in_dir / "d1.parquet")
+        self._write(self._docs_pdf(d2), in_dir / "d2.parquet")
+        self._run(spark, in_dir, tmp_path / "ckpt", tmp_path / "out")
+        got = {r["url"]: r["kept"]
+               for r in neardup_kept(
+                   spark.read.parquet(str(tmp_path / "out"))).collect()}
+
+        all_rows = self._docs_pdf(d1 + d2)
+        sigs = {
+            r["url"]: int(r["s"])
+            for r in spark.createDataFrame(all_rows)
+            .select("url", simhash("text").alias("s")).collect()
+        }
+        M = (1 << 64) - 1
+        order = [u for u, _ in d1] + sorted(u for u, _ in d2)
+        expect = {}
+        seen = []
+        for u in order:
+            expect[u] = all(
+                ((sigs[u] ^ s) & M).bit_count() > 3 for s in seen
+            )
+            seen.append(sigs[u])
+        assert got == expect
+        assert not all(expect.values())  # fixture sanity: some dups exist
+        assert any(expect[u] for u, _ in d2)  # ...and some perturbations escape
+
+    def test_within_batch_keeps_lower_id(self, spark, tmp_path):
+        from ocrd_calamari_spark.streaming import neardup_kept
+
+        rows = [("zz-later", "same exact content here for the pair test"),
+                ("aa-first", "same exact content here for the pair test"),
+                ("mm-other", "completely unrelated text about something else")]
+        in_dir = tmp_path / "in"; in_dir.mkdir()
+        self._write(self._docs_pdf(rows), in_dir / "d1.parquet")
+        self._run(spark, in_dir, tmp_path / "ckpt", tmp_path / "out")
+        got = {r["url"]: r["kept"]
+               for r in neardup_kept(
+                   spark.read.parquet(str(tmp_path / "out"))).collect()}
+        assert got == {"aa-first": True, "zz-later": False, "mm-other": True}
+
+    def test_ttl_readmits_after_window(self, spark, tmp_path):
+        from ocrd_calamari_spark.streaming import neardup_kept
+
+        ttl = 3600.0
+        rows = [("x1", "recrawled article body text alpha beta gamma")]
+        in_dir = tmp_path / "in"; in_dir.mkdir()
+        self._write(self._docs_pdf(rows), in_dir / "d1.parquet")
+        self._run(spark, in_dir, tmp_path / "ckpt", tmp_path / "out",
+                  ttl_seconds=ttl, _clock=_fixed_clock(1_000_000.0))
+        self._write(self._docs_pdf([("x2", rows[0][1])]),
+                    in_dir / "d2.parquet")
+        self._run(spark, in_dir, tmp_path / "ckpt", tmp_path / "out",
+                  ttl_seconds=ttl, _clock=_fixed_clock(1_000_000.0 + ttl + 1))
+        got = {r["url"]: r["kept"]
+               for r in neardup_kept(
+                   spark.read.parquet(str(tmp_path / "out"))).collect()}
+        assert got == {"x1": True, "x2": True}  # window passed: re-admitted
