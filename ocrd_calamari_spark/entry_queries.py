@@ -4158,6 +4158,53 @@ FROM c, t ORDER BY n DESC, user_id LIMIT 15
 """
 
 
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment join (functions/dedup.py:
+    containment_join): |sub ∩ sup| / |sub| >= 0.9 — the one-sided
+    Jaccard that catches a doc QUOTED/WRAPPED inside another (the
+    injected tail-extended dups contain their originals at 1.0 while
+    their symmetric Jaccard sits near |A|/|A'|).  Same inverted-index
+    counting join economics as jaccard_dedup; one pair scan yields both
+    directions."""
+    from ocrd_calamari_spark.functions.dedup import containment_join
+
+    corpus = _with_injected_dups(spark, sf_dir)
+    out = containment_join(corpus, threshold=0.9, shingle_k=3)
+    return out.orderBy("id_sub", "id_sup")
+
+
+CONTAINMENT_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+  FROM documents WHERE doc_id < 40
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tokens[i:i+2], ' ')
+                        for i in range(1, greatest(len(tokens)-2, 1)+1)]) AS s
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM corpus)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         CAST(len(a.s) AS BIGINT) AS n_a,
+         CAST(len(b.s) AS BIGINT) AS n_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) > 0
+), directed AS (
+  SELECT id_a AS id_sub, id_b AS id_sup, inter, n_a AS n_sub FROM pairs
+  UNION ALL
+  SELECT id_b AS id_sub, id_a AS id_sup, inter, n_b AS n_sub FROM pairs
+)
+SELECT id_sub, id_sup, inter, n_sub,
+       inter / n_sub AS containment
+FROM directed WHERE inter / n_sub >= 9e-1
+ORDER BY id_sub, id_sup
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4223,6 +4270,7 @@ QUERIES = {
     "keep_best_dedup": q_keep_best_dedup,
     "weighted_sample": q_weighted_sample,
     "skew_report": q_skew_report,
+    "containment_join": q_containment_join,
     # --- extraction family (rows-only by nature; golden contract above)
     "extract_pages": q_extract_pages,
     "extract_word_spans": q_extract_word_spans,
@@ -4298,6 +4346,7 @@ ORACLES = {
     "keep_best_dedup": _keep_best_sql(),
     "weighted_sample": _weighted_sample_sql(),
     "skew_report": SKEW_REPORT_SQL,
+    "containment_join": CONTAINMENT_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

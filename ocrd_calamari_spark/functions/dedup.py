@@ -960,3 +960,67 @@ def keep_best(
         .withColumn("kept", F.col(id_col) == F.col("_keep_id"))
         .drop("_keep_id")
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    shingle_k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed shingle-CONTAINMENT join: emit (id_sub, id_sup) whenever
+    ``|sub ∩ sup| / |sub| >= threshold`` — the one-sided Jaccard that
+    catches a document QUOTED or WRAPPED inside another (boilerplate
+    frame around a syndicated article), where symmetric Jaccard stays
+    low because the union is dominated by the larger doc.
+
+    Same inverted-index counting join as ``jaccard_index_dedup`` (work ∝
+    Σ_g C(df_g, 2), only 16 B posting/pair tuples shuffle, one pair scan
+    yields BOTH directions); the containment ratio is one integer
+    division, IEEE-exact across engines.  ``max_df`` is the same
+    REQUIRED-at-corpus-scale stop-shingle cap (SCALE.md) — with it the
+    ratio is containment over the reduced shingle space.
+    """
+    postings = (
+        shingle_table(df, id_col, text_col, shingle_k)
+        .select(F.col(id_col), F.explode("sh").alias("g"))
+    )
+    if max_df is not None:
+        stop = (
+            postings.groupBy("g").count()
+            .where(F.col("count") > max_df).select("g")
+        )
+        postings = postings.join(stop, "g", "left_anti")
+    postings = postings.persist()
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = postings.select(F.col(id_col).alias("id_a"), "g")
+    b = postings.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    directed = inter.select(
+        F.col("id_a").alias("id_sub"), F.col("id_b").alias("id_sup"),
+        "inter",
+    ).unionByName(
+        inter.select(
+            F.col("id_b").alias("id_sub"), F.col("id_a").alias("id_sup"),
+            "inter",
+        )
+    )
+    return (
+        directed.join(
+            sizes.select(F.col(id_col).alias("id_sub"),
+                         F.col("n").alias("n_sub")),
+            "id_sub",
+        )
+        .select(
+            "id_sub", "id_sup", "inter", "n_sub",
+            (F.col("inter") / F.col("n_sub")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

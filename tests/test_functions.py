@@ -2135,3 +2135,67 @@ class TestSkewReport:
             .executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "TakeOrderedAndProject" in plan
+
+
+class TestContainmentJoin:
+    def test_wrapped_copy_caught_jaccard_blind(self, spark):
+        """A short article quoted inside a much larger page: containment
+        of the article is 1.0 while symmetric Jaccard is far below any
+        useful threshold — the case this operator exists for."""
+        article = "breaking news item the quick summary of events today"
+        frame = ("site header navigation menu links " + article
+                 + " footer copyright terms privacy contact about "
+                   "subscribe newsletter social media follow us "
+                   "related stories more coverage archive search")
+        other = "totally unrelated page about cooking recipes and food"
+        df = spark.createDataFrame(
+            [(1, article), (2, frame), (3, other)], ["doc_id", "text"])
+        from ocrd_calamari_spark.functions.dedup import (
+            containment_join, jaccard_index_dedup)
+
+        got = {(r["id_sub"], r["id_sup"]): r["containment"]
+               for r in containment_join(
+                   df, threshold=0.9, shingle_k=3).collect()}
+        assert got == {(1, 2): 1.0}  # article ⊂ frame, one direction only
+        jac = jaccard_index_dedup(df, threshold=0.5, shingle_k=3).collect()
+        assert jac == []  # symmetric jaccard misses it entirely
+
+    def test_ratio_matches_python_sets(self, spark):
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f x y"),
+            (3, "a b c z z z q r"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from ocrd_calamari_spark.functions.dedup import containment_join
+
+        def shingles(t):
+            toks = t.split()
+            n = max(len(toks) - 2, 1)
+            return {" ".join(toks[i:i + 3]) for i in range(n)}
+
+        sets = {i: shingles(t) for i, t in rows}
+        exp = {}
+        for a in sets:
+            for b in sets:
+                if a != b and sets[a] & sets[b]:
+                    c = len(sets[a] & sets[b]) / len(sets[a])
+                    if c >= 0.5:
+                        exp[(a, b)] = c
+        got = {(r["id_sub"], r["id_sup"]): r["containment"]
+               for r in containment_join(
+                   df, threshold=0.5, shingle_k=3).collect()}
+        assert got == exp
+
+    def test_max_df_caps_stop_shingles(self, spark):
+        # a shingle present in EVERY doc is dropped by the cap; the
+        # remaining ratio is containment over the reduced space
+        rows = [(i, f"common boiler plate unique{i} tail{i} end{i}")
+                for i in range(6)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from ocrd_calamari_spark.functions.dedup import containment_join
+
+        uncapped = containment_join(df, threshold=0.1, shingle_k=3)
+        capped = containment_join(df, threshold=0.1, shingle_k=3, max_df=3)
+        assert uncapped.count() == 30  # all pairs share "common boiler plate"
+        assert capped.count() == 0     # the only shared shingle is capped out
