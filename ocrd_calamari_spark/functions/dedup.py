@@ -1003,15 +1003,20 @@ def containment_join(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
+    # both directions from ONE pair scan: an explode fan-out, not a
+    # self-union — unioning two selects over `inter` re-evaluates the
+    # whole posting join + pair aggregation twice (plan-verified)
     directed = inter.select(
-        F.col("id_a").alias("id_sub"), F.col("id_b").alias("id_sup"),
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("id_sub"),
+                         F.col("id_b").alias("id_sup")),
+                F.struct(F.col("id_b").alias("id_sub"),
+                         F.col("id_a").alias("id_sup")),
+            )
+        ).alias("_d"),
         "inter",
-    ).unionByName(
-        inter.select(
-            F.col("id_b").alias("id_sub"), F.col("id_a").alias("id_sup"),
-            "inter",
-        )
-    )
+    ).select("_d.id_sub", "_d.id_sup", "inter")
     return (
         directed.join(
             sizes.select(F.col(id_col).alias("id_sub"),

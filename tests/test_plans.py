@@ -380,3 +380,20 @@ class TestShardAssignPlan:
 
         plan = plan_of(q_shard_assign(spark, SF), "simple")
         assert "windowspecdefinition(_bkt" in plan
+
+
+class TestContainmentJoinPlan:
+    def test_pair_aggregation_appears_once(self, spark):
+        """Both containment directions must fan out of ONE pair
+        aggregation via explode — the self-union formulation re-evaluated
+        the posting join + pair count twice (the most expensive stage)."""
+        import re
+
+        from ocrd_calamari_spark.entry_queries import q_containment_join
+
+        plan = plan_of(q_containment_join(spark, SF), "simple")
+        pair_aggs = re.findall(
+            r"HashAggregate\(keys=\[id_a#\d+L, id_b#\d+L\], "
+            r"functions=\[partial_count", plan)
+        assert len(pair_aggs) == 1
+        assert "CartesianProduct" not in plan
