@@ -4205,6 +4205,39 @@ ORDER BY id_sub, id_sup
 """
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-vocab coverage scoring (functions/text.py:oov_rate):
+    per-doc OOV rate vs the corpus top-1000 vocabulary — the
+    gibberish/wrong-language signal quality pipelines threshold on.
+    Vocab is a deterministic TakeOrdered + broadcast; the only shuffle
+    is the per-doc count agg after map-side combine."""
+    from ocrd_calamari_spark.functions.text import oov_rate
+
+    d = _t(spark, sf_dir, "documents")
+    return oov_rate(d, "doc_id", "text", vocab_size=1000).orderBy("doc_id")
+
+
+OOV_RATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+    FROM toks GROUP BY tok
+  ) WHERE r <= 1000
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(floor(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000
+                  / count(*)) AS BIGINT) AS oov_bp
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4271,6 +4304,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "skew_report": q_skew_report,
     "containment_join": q_containment_join,
+    "oov_rate": q_oov_rate,
     # --- extraction family (rows-only by nature; golden contract above)
     "extract_pages": q_extract_pages,
     "extract_word_spans": q_extract_word_spans,
@@ -4347,6 +4381,7 @@ ORACLES = {
     "weighted_sample": _weighted_sample_sql(),
     "skew_report": SKEW_REPORT_SQL,
     "containment_join": CONTAINMENT_SQL,
+    "oov_rate": OOV_RATE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

@@ -753,3 +753,53 @@ def cooccurrence_pmi(df, text_col: str = "text", window: int = 2,
         )
     )
     return out.orderBy(F.desc("pmi_ratio"), "a", "b").limit(top_k)
+
+
+def oov_rate(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> "DataFrame":
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` tokens — the closed-vocab coverage signal quality
+    pipelines threshold on (gibberish / wrong-language / OCR-noise pages
+    score high; a trained tokenizer's vocab slots in for the corpus-
+    derived one unchanged).
+
+    Output per doc: ``n_tokens``, ``n_oov``, ``oov_bp`` (basis points,
+    floor-quantized — integer-exact at any scale).
+
+    Scale shape: the vocabulary is vocab-size rows (TakeOrdered over the
+    token counts — ties break on the token so the vocab is
+    deterministic) and BROADCASTS; the OOV flag is a broadcast-join
+    residual computed map-side, so the only shuffle carries
+    (doc, partial counts) after map-side combine — the corpus text
+    never moves.  Tokenization is single-space unigrams of
+    ``lower(text)``, shared with heavy_hitters / the classifiers.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok").agg(F.count("*").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+        )
+        .select(
+            id_col, "n_tokens", "n_oov",
+            F.floor(F.col("n_oov") * 10000 / F.col("n_tokens"))
+            .cast("bigint").alias("oov_bp"),
+        )
+    )

@@ -2199,3 +2199,45 @@ class TestContainmentJoin:
         capped = containment_join(df, threshold=0.1, shingle_k=3, max_df=3)
         assert uncapped.count() == 30  # all pairs share "common boiler plate"
         assert capped.count() == 0     # the only shared shingle is capped out
+
+
+class TestOovRate:
+    def test_counts_match_python(self, spark):
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog zzz qqq"),
+            (3, "xyzzy plugh"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from ocrd_calamari_spark.functions.text import oov_rate
+
+        # vocab_size=4 over token counts (ties by token asc):
+        # the(3) cat,dog,mat,on,plugh,qqq,sat,xyzzy,zzz(1 each)
+        # -> vocab = {the, cat, dog, mat}
+        got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_bp"])
+               for r in oov_rate(df, vocab_size=4).collect()}
+        assert got == {
+            1: (6, 2, 3333),    # sat, on OOV
+            2: (4, 2, 5000),    # zzz, qqq OOV
+            3: (2, 2, 10000),   # fully OOV
+        }
+
+    def test_vocab_boundary_tie_breaks_on_token(self, spark):
+        # four count-1 tokens compete for 2 vocab slots after "top":
+        # lexicographic tie-break -> {aa, bb} in, {cc, dd} out
+        rows = [(1, "top aa bb"), (2, "top cc dd")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from ocrd_calamari_spark.functions.text import oov_rate
+
+        got = {r["doc_id"]: r["n_oov"]
+               for r in oov_rate(df, vocab_size=3).collect()}
+        assert got == {1: 0, 2: 2}
+
+    def test_plan_broadcasts_vocab(self, spark):
+        rows = [(i, f"w{i % 7} common tokens here") for i in range(50)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from ocrd_calamari_spark.functions.text import oov_rate
+
+        plan = oov_rate(df, vocab_size=5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # corpus side never reshuffles
