@@ -149,3 +149,34 @@ def shard_assign(
     return ranked.withColumn("shard", serpent.cast("long")).drop(
         "_ord", "_one", "_start_offset"
     )
+
+
+def write_point_lookup_table(
+    df: DataFrame,
+    path: str,
+    bloom_cols: dict[str, int],
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with Bloom filters on the given columns
+    (column -> expected distinct count) — point-lookup data skipping,
+    the equality-predicate complement of ``zorder_layout``'s min-max
+    range stats (min-max footers cannot prune ``url = X`` on a
+    high-cardinality unsorted column; a row-group Bloom filter can,
+    at ~1.2 bytes/NDV for 1 % fp).
+
+    At 100 TB this is the difference between a full scan and touching a
+    handful of row groups for "fetch this url / did we crawl X"
+    workloads: readers (Spark's parquet scan included) consult the
+    filter per row group and skip groups whose Bloom excludes the key.
+    Size the NDV per ROW GROUP (not per table) — overstating it only
+    wastes filter bytes, understating it inflates the fp rate and reads
+    more groups.  No reader change needed; files remain plain parquet
+    for engines that ignore the filters.
+    """
+    w = df.write.mode(mode)
+    for col, ndv in bloom_cols.items():
+        w = (
+            w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+            .option(f"parquet.bloom.filter.expected.ndv#{col}", str(ndv))
+        )
+    w.parquet(path)

@@ -2241,3 +2241,33 @@ class TestOovRate:
         plan = oov_rate(df, vocab_size=5)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastHashJoin" in plan  # corpus side never reshuffles
+
+
+class TestPointLookupTable:
+    def test_bloom_filters_written_and_readable(self, spark, tmp_path):
+        """The bloom option must actually reach the parquet writer: the
+        filtered file is measurably larger than the identical write
+        without it (the serialized bitset ~ NDV bytes), and reads back
+        byte-identical.  (pyarrow 16 does not expose bloom_filter_offset,
+        so the size delta + readback is the observable contract here.)"""
+        import glob
+        import os
+
+        from ocrd_calamari_spark.functions.layout import (
+            write_point_lookup_table)
+
+        df = spark.range(20000).selectExpr(
+            "id", "md5(cast(id as string)) AS url").coalesce(1)
+        plain = str(tmp_path / "plain")
+        df.write.mode("overwrite").parquet(plain)
+        bloomed = str(tmp_path / "bloomed")
+        write_point_lookup_table(df, bloomed, {"url": 20000})
+
+        size = lambda d: sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
+        # a 20k-NDV bloom bitset is ~20-32 KB; require a robust fraction
+        assert size(bloomed) - size(plain) > 10_000
+        back = spark.read.parquet(bloomed)
+        assert back.count() == 20000
+        assert back.where("url = md5('137')").count() == 1
