@@ -4238,6 +4238,80 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style zlib redundancy signal (functions/text.py:
+    compression_signal) — rows-only by nature: no SQL surface has a
+    compression primitive, so the contract is the pytest pin against
+    direct python zlib (same kernel, same strings).  One Arrow-batched
+    map pass, no shuffle."""
+    from ocrd_calamari_spark.functions.text import compression_signal
+
+    d = _t(spark, sf_dir, "documents")
+    return compression_signal(d).orderBy("doc_id")
+
+
+def q_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE quality filtering: keep docs at or above their own
+    domain's p25 quality — per-domain thresholds instead of one global
+    cutoff (a global bar over-prunes terse domains and under-prunes
+    verbose ones; per-stratum quantile thresholds are the standard fix).
+    Composition: integer-quantized quality → `histogram_quantiles`
+    (state bounded by the quality GRID, never rows) → host-cardinality
+    threshold table joins back (AQE-broadcast).  The scored projection
+    (doc_id, host, q_bp) is persisted so the corpus text is scanned
+    once, not once per side; caller owns the cache (cleared by
+    bench/check_oracles between queries)."""
+    from ocrd_calamari_spark.functions.profile import histogram_quantiles
+    from ocrd_calamari_spark.functions.text import quality_score_sql
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("host"), F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0")
+    )
+    scored = d.select(
+        host.alias("host"),
+        "doc_id",
+        F.expr(
+            "cast(floor((" + quality_score_sql("text") + ") * 1e4) as bigint)"
+        ).alias("q_bp"),
+    ).persist()
+    thr = histogram_quantiles(scored, "host", "q_bp", qs={"p25": 0.25})
+    return (
+        scored.join(thr.select("host", "p25"), "host")
+        .where(F.col("q_bp") >= F.col("p25"))
+        .select("doc_id", "host", "q_bp", "p25")
+        .orderBy("doc_id")
+    )
+
+
+def _adaptive_quality_sql() -> str:
+    from ocrd_calamari_spark.functions.text import quality_score_sql
+
+    return f"""
+WITH scored AS (
+  SELECT 'host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0') AS host,
+         doc_id,
+         CAST(floor(({quality_score_sql('text')}) * 1e4) AS BIGINT) AS q_bp
+  FROM documents
+), h AS (
+  SELECT host, q_bp, count(*) AS c FROM scored GROUP BY 1, 2
+), cum AS (
+  SELECT host, q_bp,
+         SUM(c) OVER (PARTITION BY host ORDER BY q_bp) AS cum,
+         SUM(c) OVER (PARTITION BY host) AS n
+  FROM h
+), thr AS (
+  SELECT host,
+         MIN(CASE WHEN cum >= CEIL(2.5e-1 * n) THEN q_bp END) AS p25
+  FROM cum GROUP BY host
+)
+SELECT s.doc_id, s.host, s.q_bp, t.p25
+FROM scored s JOIN thr t USING (host)
+WHERE s.q_bp >= t.p25
+ORDER BY s.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4305,11 +4379,16 @@ QUERIES = {
     "skew_report": q_skew_report,
     "containment_join": q_containment_join,
     "oov_rate": q_oov_rate,
+    "adaptive_quality_filter": q_adaptive_quality_filter,
+    # (compression_signal sits with the extraction family below — it is
+    # rows-only by nature and should not displace oracled entries from
+    # the driver's sample window)
     # --- extraction family (rows-only by nature; golden contract above)
     "extract_pages": q_extract_pages,
     "extract_word_spans": q_extract_word_spans,
     "extract_sequence_voter": q_extract_sequence_voter,
     "extract_glyph_spans": q_extract_glyph_spans,
+    "compression_signal": q_compression_signal,
     # --- re-confirm set (changed this round or flagship relational)
     "inverted_index": q_inverted_index,
     "kmv_distinct": q_kmv_distinct,
@@ -4382,6 +4461,7 @@ ORACLES = {
     "skew_report": SKEW_REPORT_SQL,
     "containment_join": CONTAINMENT_SQL,
     "oov_rate": OOV_RATE_SQL,
+    "adaptive_quality_filter": _adaptive_quality_sql(),
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

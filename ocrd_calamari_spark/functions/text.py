@@ -803,3 +803,47 @@ def oov_rate(
             .cast("bigint").alias("oov_bp"),
         )
     )
+
+
+def compression_signal(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> "DataFrame":
+    """Per-document zlib compression ratio — the redundancy signal of
+    Gopher-family quality filters: highly compressible pages are
+    repetitive boilerplate / keyword stuffing, incompressible ones are
+    binary garbage or encrypted junk; natural prose sits in a stable
+    band.  Reported as integer basis points (compressed*10^4/raw).
+
+    This is the one quality signal with no SQL equivalent (no
+    compression primitive in either engine's SQL surface), so the
+    kernel is Python zlib under ``mapInPandas`` — Arrow-batched, one
+    pass, no shuffle, embarrassingly row-local; zlib at a fixed level
+    is deterministic for a given zlib build, and the pytest pins
+    equality to direct python zlib on the same strings.  Empty text
+    reports its compressed size against a floor of 1 byte (documented
+    sentinel; threshold rules should drop empties earlier anyway).
+    """
+    schema = f"{id_col} long, n_bytes long, n_comp long, ratio_bp long"
+
+    def fn(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            nb = raw.str.len().astype("int64")
+            nc = raw.map(lambda b: len(zlib.compress(b, level))).astype(
+                "int64"
+            )
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bytes": nb,
+                "n_comp": nc,
+                "ratio_bp": (nc * 10000) // nb.where(nb > 0, 1),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema)

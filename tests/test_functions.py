@@ -2271,3 +2271,28 @@ class TestPointLookupTable:
         back = spark.read.parquet(bloomed)
         assert back.count() == 20000
         assert back.where("url = md5('137')").count() == 1
+
+
+class TestCompressionSignal:
+    def test_matches_direct_zlib(self, spark):
+        import zlib
+
+        rows = [
+            (1, "word " * 200),                      # repetitive -> low ratio
+            (2, "the quick brown fox jumps over the lazy dog and keeps "
+                "running through fields of varied natural prose text"),
+            (3, "kjq8x!mz94@pw7#vn2$hс5%tr3^yu1&io0*as6(df4)gh8-jk2+lz9"),
+            (4, ""),                                  # empty sentinel
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from ocrd_calamari_spark.functions.text import compression_signal
+
+        got = {r["doc_id"]: (r["n_bytes"], r["n_comp"], r["ratio_bp"])
+               for r in compression_signal(df).collect()}
+        for i, t in rows:
+            raw = t.encode("utf-8")
+            comp = len(zlib.compress(raw, 6))
+            assert got[i] == (
+                len(raw), comp, comp * 10000 // max(len(raw), 1))
+        # signal sanity: repetitive << prose < junk
+        assert got[1][2] < got[2][2] < got[3][2]
