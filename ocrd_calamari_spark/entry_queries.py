@@ -4312,6 +4312,66 @@ ORDER BY s.doc_id
 """
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the DIRECTED link graph
+    (functions/graph.py:hits) — 3 unnormalized iterations, so every
+    score is an INTEGER sum over in-/out-neighborhoods: hash-exact
+    across engines and partitionings with zero float noise (ranking is
+    invariant to the dropped scale factor).  The DuckDB twin unrolls
+    the same three iterations as successive CTEs."""
+    from ocrd_calamari_spark.functions.graph import hits
+
+    links = q_extract_links(spark, sf_dir)
+    fwd = links.select(
+        F.col("url").alias("src"),
+        F.concat(_page_host(), F.col("href")).alias("dst"),
+    )
+    return hits(fwd, iters=3).orderBy("node")
+
+
+def _hits_sql(iters: int = 3) -> str:
+    head = _PAGE_HEAD.replace("'", "''")
+    foot = _PAGE_FOOT.replace("'", "''")
+    ctes = [
+        "h0 AS (SELECT v, CAST(1 AS BIGINT) AS s FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT n.v, CAST(COALESCE(t.s, 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS v, SUM(h{i - 1}.s) AS s
+    FROM e JOIN h{i - 1} ON h{i - 1}.v = e.src GROUP BY e.dst
+  ) t USING (v))""")
+        ctes.append(f"""h{i} AS (
+  SELECT n.v, CAST(COALESCE(t.s, 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS v, SUM(a{i}.s) AS s
+    FROM e JOIN a{i} ON a{i}.v = e.dst GROUP BY e.src
+  ) t USING (v))""")
+    return f"""
+WITH pages AS (
+  SELECT 'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+         || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+         'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+         || '.example' AS host,
+         '{head}' || '<article><h1>Document ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text || '</p></article>' || '{foot}' AS html
+  FROM documents
+), fwd AS (
+  SELECT url AS src, host || unnest(
+           regexp_extract_all(html, 'href="([^"]*)"', 1)) AS dst
+  FROM pages
+), e AS (
+  SELECT DISTINCT src, dst FROM fwd
+), nodes AS (
+  SELECT src AS v FROM e UNION SELECT dst FROM e
+), {", ".join(ctes)}
+SELECT a{iters}.v AS node, a{iters}.s AS authority, h{iters}.s AS hub
+FROM a{iters} JOIN h{iters} USING (v)
+ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4380,6 +4440,7 @@ QUERIES = {
     "containment_join": q_containment_join,
     "oov_rate": q_oov_rate,
     "adaptive_quality_filter": q_adaptive_quality_filter,
+    "hits_scores": q_hits_scores,
     # (compression_signal sits with the extraction family below — it is
     # rows-only by nature and should not displace oracled entries from
     # the driver's sample window)
@@ -4462,6 +4523,7 @@ ORACLES = {
     "containment_join": CONTAINMENT_SQL,
     "oov_rate": OOV_RATE_SQL,
     "adaptive_quality_filter": _adaptive_quality_sql(),
+    "hits_scores": _hits_sql(),
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

@@ -169,3 +169,99 @@ def pagerank(
     ed.unpersist()
     dangling.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration UNNORMALIZED HITS → (node, authority, hub) — the
+    other classic link-analysis score (Kleinberg): authorities are
+    pointed at by good hubs, hubs point at good authorities.  Reference
+    position: the voter's mutual-reinforcement scoring
+    (`recognize.py:305-311` weighs models by agreement) lifted to the
+    link graph.
+
+    Dropping per-iteration normalization makes every score an INTEGER
+    (init hub=1; each step is pure sums over in-/out-neighborhoods), so
+    results are hash-exact across engines and partitionings — no float
+    summation-order noise at all.  The trade: magnitudes grow ~(λ_max)^k
+    per round, so the iteration count must stay small enough that
+    max_score fits int64 (k=3 on a web-scale graph with degree sums
+    ≤ 10^6 is ≤ ~10^18 — at the edge; normalize offline from the raw
+    integers when ranking is all you need, since ranking is invariant
+    to the scale factor).  A guard raises if any score would overflow.
+
+    Scale shape: per iteration, two equi-joins shipping only
+    (node, score) pairs against the persisted edge table, partial-agg
+    sums — identical economics to ``pagerank``; per-iteration persist +
+    count cuts the lineage chain.  The RETURNED DataFrame is persisted;
+    caller owns the unpersist (bench/check_oracles clear the cache).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    e.count()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    hub = nodes.select("node", F.lit(1).cast("bigint").alias("hub")).persist()
+    auth = None
+    try:
+        for _ in range(iters):
+            a_raw = (
+                e.join(hub, e["src"] == hub["node"])
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("_a"))
+            )
+            new_auth = (
+                nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("_a"), F.lit(0)).cast("bigint")
+                    .alias("authority"),
+                )
+                .persist()
+            )
+            new_auth.count()
+            h_raw = (
+                e.join(new_auth, e["dst"] == new_auth["node"])
+                .groupBy("src")
+                .agg(F.sum("authority").alias("_h"))
+            )
+            new_hub = (
+                nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("_h"), F.lit(0)).cast("bigint")
+                    .alias("hub"),
+                )
+                .persist()
+            )
+            new_hub.count()
+            # overflow guard: one 2-value agg (bounded collect)
+            m = new_hub.agg(F.max("hub").alias("mh")).collect()[0]["mh"]
+            if m is not None and m > (1 << 61):
+                raise OverflowError(
+                    f"HITS scores approaching int64 range after an "
+                    f"iteration (max hub {m}); reduce iters"
+                )
+            hub.unpersist()
+            if auth is not None:
+                auth.unpersist()
+            hub, auth = new_hub, new_auth
+        out = auth.join(hub, "node").select(
+            "node", "authority", "hub"
+        ).persist()
+        out.count()  # materialized -> the iteration caches can go
+        hub.unpersist()
+        auth.unpersist()
+        return out
+    finally:
+        e.unpersist()
+        nodes.unpersist()

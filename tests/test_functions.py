@@ -2296,3 +2296,44 @@ class TestCompressionSignal:
                 len(raw), comp, comp * 10000 // max(len(raw), 1))
         # signal sanity: repetitive << prose < junk
         assert got[1][2] < got[2][2] < got[3][2]
+
+
+class TestHits:
+    def test_hand_computed_bipartite(self, spark):
+        # h1->{a1,a2}, h2->{a1}: 3 unnormalized iterations give the
+        # Fibonacci-like integer sequence computed by hand
+        edges = spark.createDataFrame(
+            [("h1", "a1"), ("h1", "a2"), ("h2", "a1")], ["src", "dst"])
+        from ocrd_calamari_spark.functions.graph import hits
+
+        got = {r["node"]: (r["authority"], r["hub"])
+               for r in hits(edges, iters=3).collect()}
+        assert got == {
+            "a1": (13, 0), "a2": (8, 0),
+            "h1": (0, 21), "h2": (0, 13),
+        }
+
+    def test_matches_python_reference(self, spark):
+        rows = sorted({(i % 17, (i * i + 1) % 17) for i in range(60)
+                       if i % 17 != (i * i + 1) % 17})
+        edges = spark.createDataFrame(rows, ["src", "dst"])
+        from ocrd_calamari_spark.functions.graph import hits
+
+        nodes = {v for e in rows for v in e}
+        h = {v: 1 for v in nodes}
+        for _ in range(3):
+            a = {v: 0 for v in nodes}
+            for s, d in rows:
+                a[d] += h[s]
+            h = {v: 0 for v in nodes}
+            for s, d in rows:
+                h[s] += a[d]
+        got = {r["node"]: (r["authority"], r["hub"])
+               for r in hits(edges, iters=3).collect()}
+        assert got == {v: (a[v], h[v]) for v in nodes}
+
+    def test_empty_graph(self, spark):
+        edges = spark.createDataFrame([], "src string, dst string")
+        from ocrd_calamari_spark.functions.graph import hits
+
+        assert hits(edges, iters=2).count() == 0
