@@ -4372,6 +4372,73 @@ ORDER BY node
 """
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (functions/joins.py:interval_overlap_join):
+    per-user daily activity spans x busy event-type hour windows — which
+    users were active during which hot hours.  Bucketized equi join with
+    the first-shared-bucket exactly-once trick; a raw double-BETWEEN
+    theta join would plan as a nested-loop cross product."""
+    from ocrd_calamari_spark.functions.joins import interval_overlap_join
+
+    # TIMESTAMP_NTZ: calendar diff from a fixed literal, not a tz-aware
+    # epoch cast — identical integer in both engines regardless of
+    # session timezone
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr(
+            "timestampdiff(SECOND, timestamp'1970-01-01 00:00:00', ts)"
+        ).cast("long").alias("ep"),
+    )
+    spans = ev.where(F.col("user_id") < 40).groupBy(
+        "user_id", F.floor(F.col("ep") / 86400).alias("day")
+    ).agg(
+        F.min("ep").alias("a_lo"),
+        (F.max("ep") + 1).alias("a_hi"),
+    )
+    hot = (
+        ev.groupBy(
+            "event_type", F.floor(F.col("ep") / 3600).alias("hour")
+        )
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 3)
+        .select(
+            "event_type",
+            (F.col("hour") * 3600).alias("b_lo"),
+            ((F.col("hour") + 1) * 3600).alias("b_hi"),
+        )
+    )
+    out = interval_overlap_join(
+        spans, hot, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=3600
+    )
+    return out.select(
+        "user_id", "day", "a_lo", "a_hi", "event_type", "b_lo"
+    ).orderBy("user_id", "day", "event_type", "b_lo")
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+              AS BIGINT) AS ep
+  FROM events
+), spans AS (
+  SELECT user_id, CAST(floor(ep / 86400) AS BIGINT) AS day,
+         MIN(ep) AS a_lo, MAX(ep) + 1 AS a_hi
+  FROM ev WHERE user_id < 40 GROUP BY 1, 2
+), hot AS (
+  SELECT event_type,
+         CAST(floor(ep / 3600) AS BIGINT) * 3600 AS b_lo,
+         (CAST(floor(ep / 3600) AS BIGINT) + 1) * 3600 AS b_hi
+  FROM ev GROUP BY event_type, floor(ep / 3600)
+  HAVING count(*) >= 3
+)
+SELECT s.user_id, s.day, s.a_lo, s.a_hi, h.event_type, h.b_lo
+FROM spans s JOIN hot h
+  ON s.a_lo < h.b_hi AND h.b_lo < s.a_hi
+ORDER BY s.user_id, s.day, h.event_type, h.b_lo
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4441,6 +4508,7 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "adaptive_quality_filter": q_adaptive_quality_filter,
     "hits_scores": q_hits_scores,
+    "interval_overlap": q_interval_overlap,
     # (compression_signal sits with the extraction family below — it is
     # rows-only by nature and should not displace oracled entries from
     # the driver's sample window)
@@ -4524,6 +4592,7 @@ ORACLES = {
     "oov_rate": OOV_RATE_SQL,
     "adaptive_quality_filter": _adaptive_quality_sql(),
     "hits_scores": _hits_sql(),
+    "interval_overlap": INTERVAL_OVERLAP_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

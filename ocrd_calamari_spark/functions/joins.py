@@ -207,3 +207,59 @@ def write_bucketed_table(df: DataFrame, name: str, path: str,
     if sort_by is not None:
         writer = writer.sortBy(sort_by)
     (writer.option("path", path).mode("overwrite").saveAsTable(name))
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval-OVERLAP join of two interval tables ([lo, hi), half-open:
+    overlap iff ``l.lo < r.hi AND r.lo < l.hi``) without a theta join —
+    the two-sided sibling of ``range_bucket_join`` (activity spans x
+    outage windows, sessions x incidents, crawl windows x deploys).
+
+    Both sides explode to the fixed-width buckets they cover and meet in
+    an EQUI join on the bucket.  An overlapping pair shares EVERY bucket
+    of its intersection, so it would duplicate; instead of a distinct
+    over the (potentially wide) output, each pair is emitted only in the
+    FIRST bucket both cover — ``bucket == greatest(floor(l.lo/w),
+    floor(r.lo/w))``, a residual predicate — making the join
+    exactly-once by construction.  Shuffle-partitionable and skew-safe
+    for bounded interval lengths; size ``bucket_width`` near the typical
+    interval length so explode fan-out stays O(1) per row.
+
+    Degenerate intervals (hi <= lo) are dropped before the explode on
+    BOTH sides (empty by the half-open definition; and a malformed
+    hi << lo would explode a huge descending bucket sequence).  Column
+    names must be disjoint across the two inputs.
+    """
+    w = float(bucket_width)
+    if not w > 0.0:
+        raise ValueError(f"bucket_width must be > 0: {bucket_width!r}")
+
+    def burst(df, lo, hi):
+        return df.where(F.col(hi) > F.col(lo)).withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(w)).cast("long"),
+                    (F.ceil(F.col(hi) / F.lit(w)) - 1).cast("long"),
+                )
+            ),
+        )
+    l = burst(left, left_lo, left_hi)
+    r = burst(right, right_lo, right_hi)
+    first_shared = F.greatest(
+        F.floor(F.col(left_lo) / F.lit(w)).cast("long"),
+        F.floor(F.col(right_lo) / F.lit(w)).cast("long"),
+    )
+    return l.join(r, "_bucket").where(
+        (F.col(left_lo) < F.col(right_hi))
+        & (F.col(right_lo) < F.col(left_hi))
+        & (F.col("_bucket") == first_shared)
+    ).drop("_bucket")

@@ -2337,3 +2337,46 @@ class TestHits:
         from ocrd_calamari_spark.functions.graph import hits
 
         assert hits(edges, iters=2).count() == 0
+
+
+class TestIntervalOverlapJoin:
+    def test_matches_brute_force_exactly_once(self, spark):
+        # wide intervals spanning MANY buckets: the first-shared-bucket
+        # trick must emit each overlapping pair exactly once
+        left = [(i, i * 7, i * 7 + 25) for i in range(30)]
+        right = [(100 + j, j * 11, j * 11 + 40) for j in range(20)]
+        ldf = spark.createDataFrame(left, ["lid", "a_lo", "a_hi"])
+        rdf = spark.createDataFrame(right, ["rid", "b_lo", "b_hi"])
+        from ocrd_calamari_spark.functions.joins import interval_overlap_join
+
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                ldf, rdf, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=10
+            ).collect()
+        )
+        exp = sorted(
+            (l[0], r[0])
+            for l in left for r in right
+            if l[1] < r[2] and r[1] < l[2]
+        )
+        assert got == exp  # exact set AND no duplicates
+
+    def test_degenerate_intervals_dropped(self, spark):
+        ldf = spark.createDataFrame(
+            [(1, 10, 10), (2, 10, 5), (3, 0, 100)], ["lid", "a_lo", "a_hi"])
+        rdf = spark.createDataFrame([(9, 0, 100)], ["rid", "b_lo", "b_hi"])
+        from ocrd_calamari_spark.functions.joins import interval_overlap_join
+
+        got = [r["lid"] for r in interval_overlap_join(
+            ldf, rdf, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=7
+        ).collect()]
+        assert got == [3]  # empty/inverted intervals never match
+
+    def test_rejects_bad_width(self, spark):
+        df = spark.createDataFrame([(1, 0, 1)], ["i", "lo", "hi"])
+        from ocrd_calamari_spark.functions.joins import interval_overlap_join
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            interval_overlap_join(df, df, "lo", "hi", "lo", "hi", 0)
