@@ -4250,6 +4250,27 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_signal(d).orderBy("doc_id")
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs
+    (functions/multimodal.py:phash_near_dupes) — rows-only by nature
+    (the DCT has no SQL form; semantics are pytest-pinned: blocking ==
+    brute-force over the same signatures, one-pixel nudge stays within
+    Hamming 3).  Fixture: the synthetic image rows plus exact recrawl
+    copies of the first 20 (ids +1000000), which the Hamming-0 path must
+    pair with their originals."""
+    from ocrd_calamari_spark.functions.multimodal import phash_near_dupes
+
+    media = media_from_documents(spark, sf_dir)
+    imgs = media.where(F.col("kind") == "image")
+    copies = imgs.orderBy("media_id").limit(20).select(
+        (F.col("media_id") + 1000000).alias("media_id"),
+        "kind", "payload", "meta",
+    )
+    return phash_near_dupes(imgs.unionByName(copies)).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADAPTIVE quality filtering: keep docs at or above their own
     domain's p25 quality — per-domain thresholds instead of one global
@@ -4518,6 +4539,7 @@ QUERIES = {
     "extract_sequence_voter": q_extract_sequence_voter,
     "extract_glyph_spans": q_extract_glyph_spans,
     "compression_signal": q_compression_signal,
+    "phash_dedup": q_phash_dedup,
     # --- re-confirm set (changed this round or flagship relational)
     "inverted_index": q_inverted_index,
     "kmv_distinct": q_kmv_distinct,

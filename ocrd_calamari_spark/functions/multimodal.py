@@ -234,3 +234,121 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
         .withColumn("ts_offset_sec", F.col("frame_no") / F.col("_fps").cast("double"))
         .drop("_fps")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup: the REAL pHash algorithm (32x32 gray ->
+# DCT-II -> low-frequency 8x8 -> median threshold -> 64 bits) over the
+# deterministic fake pixel source; a real decoder (PIL) plugs in at the
+# same point the other codecs do and nothing downstream changes.
+# ---------------------------------------------------------------------------
+_PHASH_N = 32
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    k = np.arange(n, dtype=np.float64)
+    m = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+def _phash_one(payload, backend: str) -> int:
+    """64-bit pHash.  Pixel source: fake backend tiles the payload body
+    into a 32x32 gray grid (REAL images would land here via PIL resize
+    + grayscale); everything after the pixel grid is the standard pHash:
+    2-D DCT-II, keep the low-frequency 8x8 block, threshold each
+    coefficient at the block's MEDIAN (excluding the DC term from the
+    median keeps flat images from degenerating), pack 64 sign bits."""
+    if backend == "real":
+        raise NotImplementedError(
+            "real pHash needs PIL for decode+resize — use backend='fake'"
+        )
+    if payload is None or len(payload) < 12 or bytes(payload[:4]) != b"IMG0":
+        raise ValueError("not an image payload")
+    body = np.frombuffer(bytes(payload[12:]), dtype=np.uint8)
+    need = _PHASH_N * _PHASH_N
+    if len(body) == 0:
+        grid = np.zeros(need, dtype=np.float64)
+    else:
+        reps = -(-need // len(body))
+        grid = np.tile(body, reps)[:need].astype(np.float64)
+    img = grid.reshape(_PHASH_N, _PHASH_N)
+    m = _dct_matrix(_PHASH_N)
+    coef = m @ img @ m.T
+    low = coef[:8, :8].flatten()
+    med = np.median(low[1:])  # DC excluded from the threshold
+    bits = (low > med).astype(np.uint64)
+    h = np.uint64(0)
+    for i, b in enumerate(bits):
+        h |= b << np.uint64(i)
+    return int(h.astype(np.int64))  # signed for the LongType column
+
+
+def phash_signatures(df: DataFrame, backend: str = "fake") -> DataFrame:
+    """(media_id, phash) for image rows — mapInPandas, Arrow-batched,
+    row-local (no shuffle); per-row failures become error rows like
+    ``decode_media``."""
+    schema = "media_id long, phash long, error string"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "phash": [], "error": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    h, err = _phash_one(payload, backend), None
+                except (ValueError, NotImplementedError) as e:
+                    h, err = None, str(e)
+                out["media_id"].append(mid)
+                out["phash"].append(h)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    imgs = df.where(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(fn, schema)
+
+
+def phash_near_dupes(
+    df: DataFrame, max_hamming: int = 3, backend: str = "fake"
+) -> DataFrame:
+    """Image near-dup pairs by pHash Hamming distance <= ``max_hamming``
+    — the visual twin of ``simhash_near_dupes`` with the SAME pigeonhole
+    blocking (4 x 16-bit chunks: Hamming <= 3 implies one exact chunk
+    match, so recall is exact, not probabilistic); verify is
+    ``bit_count(xor)`` JVM-side.  Only (chunk, id, sig) rows shuffle."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"pigeonhole over 4 chunks is exact only for Hamming <= 3: "
+            f"{max_hamming}"
+        )
+    sigs = phash_signatures(df, backend).where(
+        F.col("error").isNull()
+    ).select("media_id", F.col("phash").alias("sig"))
+    chunks = sigs.select(
+        "media_id", "sig",
+        F.explode(
+            F.array(*[
+                (F.lit(i * 65536)
+                 + F.shiftrightunsigned("sig", 16 * i)
+                 .bitwiseAND(F.lit(0xFFFF))).cast("long")
+                for i in range(4)
+            ])
+        ).alias("ck"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.ck") == F.col("r.ck"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("id_a"),
+            F.col("r.media_id").alias("id_b"),
+            F.bit_count(
+                F.col("l.sig").bitwiseXOR(F.col("r.sig"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -2380,3 +2380,80 @@ class TestIntervalOverlapJoin:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             interval_overlap_join(df, df, "lo", "hi", "lo", "hi", 0)
+
+
+class TestPhash:
+    def _media(self, spark, payloads):
+        rows = [(i, "image", p, None) for i, p in enumerate(payloads)]
+        from ocrd_calamari_spark.functions.multimodal import MEDIA_SCHEMA
+
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def test_identical_payloads_same_hash(self, spark):
+        from ocrd_calamari_spark.functions.multimodal import (
+            make_fake_payload, phash_signatures)
+
+        body = bytes(range(256)) * 4
+        p = make_fake_payload("image", 32, 32, body)
+        df = self._media(spark, [p, p])
+        hs = [r["phash"] for r in phash_signatures(df).collect()]
+        assert hs[0] == hs[1] and hs[0] is not None
+
+    def test_small_perturbation_small_hamming(self, spark):
+        from ocrd_calamari_spark.functions.multimodal import (
+            make_fake_payload, phash_signatures)
+
+        body = bytes((i * 7) % 251 for i in range(1024))
+        tweaked = bytearray(body); tweaked[100] ^= 0x04  # one-pixel nudge
+        df = self._media(spark, [
+            make_fake_payload("image", 32, 32, body),
+            make_fake_payload("image", 32, 32, bytes(tweaked)),
+        ])
+        a, b = [r["phash"] for r in
+                phash_signatures(df).orderBy("media_id").collect()]
+        ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        assert ham <= 3  # pHash robustness: tiny change, tiny distance
+
+    def test_blocking_matches_brute_force(self, spark):
+        from ocrd_calamari_spark.functions.multimodal import (
+            make_fake_payload, phash_near_dupes, phash_signatures)
+
+        payloads = []
+        base = bytes((i * 13) % 256 for i in range(1024))
+        for j in range(12):
+            b = bytearray(base)
+            for k in range(j):  # increasingly perturbed copies
+                b[50 + 37 * k] ^= 0x08
+            payloads.append(make_fake_payload("image", 32, 32, bytes(b)))
+        payloads.append(make_fake_payload("image", 32, 32,
+                                          bytes(range(255, -1, -1)) * 4))
+        df = self._media(spark, payloads)
+        sigs = {r["media_id"]: r["phash"]
+                for r in phash_signatures(df).collect()}
+        M = (1 << 64) - 1
+        exp = sorted(
+            (a, b) for a in sigs for b in sigs if a < b
+            and bin((sigs[a] ^ sigs[b]) & M).count("1") <= 3
+        )
+        got = sorted((r["id_a"], r["id_b"])
+                     for r in phash_near_dupes(df).collect())
+        assert got == exp
+        assert exp  # fixture sanity: some near-dup pairs exist
+
+    def test_non_image_and_garbage_rows_error_out(self, spark):
+        from ocrd_calamari_spark.functions.multimodal import (
+            make_fake_payload, phash_signatures)
+
+        from pyspark.sql import Row
+        rows = [
+            (0, "image", make_fake_payload("image", 4, 4, b"ok"), None),
+            (1, "audio", make_fake_payload("audio", 8000, 100), None),
+            (2, "image", b"shrt", None),
+        ]
+        from ocrd_calamari_spark.functions.multimodal import MEDIA_SCHEMA
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r["media_id"]: (r["phash"], r["error"])
+               for r in phash_signatures(df).collect()}
+        assert got[0][0] is not None and got[0][1] is None
+        assert 1 not in got                 # non-image filtered out
+        assert got[2][0] is None and got[2][1]  # garbage -> error row
