@@ -153,7 +153,10 @@ def weighted_sample(
     xxhash64 (fast); pass the portable md5 template when an external
     system must reproduce the sample.
     """
-    tmpl = hash_sql or "abs(xxhash64({t}))"
+    # no abs() wrapper: pmod of a negative long is already in [0, den),
+    # and under ANSI mode abs(Long.MIN_VALUE) THROWS ArithmeticException
+    # — a 2^-64-per-row landmine that a 10^12-row job would step on
+    tmpl = hash_sql or "xxhash64({t})"
     h = F.expr(
         "pmod(" + tmpl.format(t=f"cast({id_col} as string)") + f", {den})"
     )

@@ -68,7 +68,13 @@ def kmv_distinct_estimate(df: DataFrame, group_col: str, value_col: str,
 
 def _kmv_hash(value_col: str, hash_expr: str | None):
     if hash_expr is None:
-        return F.abs(F.xxhash64(F.col(value_col)))
+        # sign-bit MASK, not abs(): under ANSI mode abs(Long.MIN_VALUE)
+        # throws ArithmeticException — a 2^-64-per-value landmine on a
+        # 10^12-row scan.  The mask keeps the hash uniform in [0, 2^63)
+        # (matching hash_space) and can never overflow.
+        return F.xxhash64(F.col(value_col)).bitwiseAND(
+            F.lit((1 << 63) - 1)
+        )
     return F.expr(hash_expr.format(v=value_col))
 
 
