@@ -398,3 +398,45 @@ def neardup_kept(banded: DataFrame, id_col: str = "url") -> DataFrame:
         banded.groupBy(id_col)
         .agg((F.max(F.col("dup").cast("int")) == 0).alias("kept"))
     )
+
+
+def join_page_link_streams(
+    pages: DataFrame,
+    links: DataFrame,
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: crawl pages arriving on one
+    stream enriched with link records arriving (possibly later) on
+    another — the two-feed shape of a crawler whose fetcher and link
+    extractor publish independently.
+
+    Both sides carry event-time watermarks and the join condition bounds
+    the link's timestamp inside [page_ts, page_ts + max_lag], so Spark
+    can size the join state: each side buffers only rows younger than
+    watermark + lag, then drops them — bounded state on endless streams
+    (an UNconstrained stream-stream join must buffer both streams
+    forever).  Output columns: url, page ts, link href, link ts.
+
+    ``pages``: (url, warc_ts, ...); ``links``: (url, link_ts, href).
+    """
+    p = (
+        pages.select("url", "warc_ts")
+        .withWatermark("warc_ts", watermark)
+    )
+    l = (
+        links.select(
+            F.col("url").alias("l_url"), "link_ts", "href"
+        )
+        .withWatermark("link_ts", watermark)
+    )
+    return p.join(
+        l,
+        F.expr(
+            f"""
+            url = l_url AND
+            link_ts >= warc_ts AND
+            link_ts <= warc_ts + interval {max_lag}
+            """
+        ),
+    ).select("url", "warc_ts", "href", "link_ts")

@@ -447,3 +447,72 @@ class TestStreamingNearDup:
                for r in neardup_kept(
                    spark.read.parquet(str(tmp_path / "out"))).collect()}
         assert got == {"x1": True, "x2": True}  # window passed: re-admitted
+
+
+class TestStreamStreamJoin:
+    """join_page_link_streams: watermarked two-stream join with bounded
+    state (the fetcher + link-extractor two-feed shape)."""
+
+    def test_joins_in_window_drops_out_of_window(self, spark, tmp_path):
+        import datetime as dt
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocrd_calamari_spark.streaming import join_page_link_streams
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        pages = pd.DataFrame({
+            "url": ["u1", "u2", "u3"],
+            "warc_ts": [t0, t0, t0],
+        })
+        links = pd.DataFrame({
+            "url": ["u1", "u2", "u2", "u9"],
+            "link_ts": [
+                t0 + dt.timedelta(minutes=5),    # in window -> joins
+                t0 + dt.timedelta(minutes=29),   # in window -> joins
+                t0 + dt.timedelta(minutes=45),   # beyond max_lag -> dropped
+                t0 + dt.timedelta(minutes=1),    # no matching page
+            ],
+            "href": ["/a", "/b", "/late", "/x"],
+        })
+        # microsecond units: pyarrow's default ns INT64 does not read
+        # back as a Spark timestamp
+        pages = pages.astype({"warc_ts": "datetime64[us]"})
+        links = links.astype({"link_ts": "datetime64[us]"})
+        pdir = tmp_path / "pages"; pdir.mkdir()
+        ldir = tmp_path / "links"; ldir.mkdir()
+        pq.write_table(pa.Table.from_pandas(pages, preserve_index=False),
+                       str(pdir / "p.parquet"))
+        pq.write_table(pa.Table.from_pandas(links, preserve_index=False),
+                       str(ldir / "l.parquet"))
+
+        ps = (spark.readStream.schema("url string, warc_ts timestamp")
+              .parquet(str(pdir)))
+        ls = (spark.readStream
+              .schema("url string, link_ts timestamp, href string")
+              .parquet(str(ldir)))
+        out = join_page_link_streams(ps, ls, watermark="1 hour",
+                                     max_lag="30 minutes")
+        q = (out.writeStream.format("memory").queryName("ssj_out")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted((r.url, r.href)
+                     for r in spark.sql("select * from ssj_out").collect())
+        assert got == [("u1", "/a"), ("u2", "/b")]
+
+    def test_plan_is_stateful_stream_join(self, spark, tmp_path):
+        from ocrd_calamari_spark.streaming import join_page_link_streams
+
+        (tmp_path / "p").mkdir(); (tmp_path / "l").mkdir()
+        ps = (spark.readStream.schema("url string, warc_ts timestamp")
+              .parquet(str(tmp_path / "p")))
+        ls = (spark.readStream
+              .schema("url string, link_ts timestamp, href string")
+              .parquet(str(tmp_path / "l")))
+        out = join_page_link_streams(ps, ls)
+        # both watermarks present in the logical plan = state is bounded
+        plan = out._jdf.queryExecution().logical().toString()
+        assert plan.count("EventTimeWatermark") == 2
