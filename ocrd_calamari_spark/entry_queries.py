@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ocrd_calamari_spark.config import ExtractConfig
 from ocrd_calamari_spark.functions.dedup import (
+    PORTABLE_TOKEN_HASH_DUCKDB,
     exact_duplicates,
     minhash_dedup,
     simhash_near_dupes,
@@ -4460,6 +4461,82 @@ ORDER BY s.user_id, s.day, h.event_type, h.b_lo
 """
 
 
+def q_intra_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-span removal (functions/text.py:
+    dedup_spans_in_doc) — the intra-doc half of substring dedup
+    (`span_dedup` is the cross-doc half): every 7th doc gets its first
+    12 tokens re-appended (a self-repeating template), and the rewrite
+    must drop the second copy wholesale while leaving other docs
+    byte-identical.  Byte-exact reassembly oracle, portable hash."""
+    from ocrd_calamari_spark.functions.dedup import PORTABLE_TOKEN_HASH_SQL
+    from ocrd_calamari_spark.functions.text import dedup_spans_in_doc
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" "),
+                F.array_join(F.slice(toks, 1, 12), " "),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = dedup_spans_in_doc(
+        corpus, "doc_id", "text", window=8,
+        token_hash=PORTABLE_TOKEN_HASH_SQL,
+    )
+    return out.orderBy("doc_id")
+
+
+INTRA_SPAN_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' ' || array_to_string(
+             (string_split_regex(trim(text), '\s+'))[1:12], ' ')
+         ELSE text END AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM corpus
+), w AS (
+  SELECT doc_id, len(toks) AS n,
+         [{PORTABLE_TOKEN_HASH_DUCKDB.format(
+             t="array_to_string(toks[i:i+7], ' ')")}
+          for i in range(1, greatest(len(toks) - 7, 1) + 1)] AS hs
+  FROM t
+), win AS (
+  SELECT doc_id, n, generate_subscripts(hs, 1) AS widx, unnest(hs) AS h
+  FROM w
+), rep AS (
+  SELECT doc_id, n, widx FROM (
+    SELECT doc_id, n, widx,
+           min(widx) OVER (PARTITION BY doc_id, h) AS first
+    FROM win
+  ) WHERE widx > first
+), drops AS (
+  SELECT DISTINCT doc_id,
+         unnest(generate_series(widx, least(widx + 7, n))) AS pos
+  FROM rep
+), tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tk
+  FROM t
+), kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tk
+  FROM tok LEFT JOIN drops USING (doc_id, pos)
+  WHERE drops.pos IS NULL
+)
+SELECT k.doc_id,
+       CAST(max(t.n) AS BIGINT) AS n_tokens,
+       CAST(max(t.n) - count(*) AS BIGINT) AS n_removed,
+       string_agg(k.tk, ' ' ORDER BY k.pos) AS new_text
+FROM kept k JOIN (SELECT doc_id, len(toks) AS n FROM t) t USING (doc_id)
+GROUP BY k.doc_id ORDER BY k.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4530,6 +4607,7 @@ QUERIES = {
     "adaptive_quality_filter": q_adaptive_quality_filter,
     "hits_scores": q_hits_scores,
     "interval_overlap": q_interval_overlap,
+    "intra_doc_span_dedup": q_intra_doc_span_dedup,
     # (compression_signal sits with the extraction family below — it is
     # rows-only by nature and should not displace oracled entries from
     # the driver's sample window)
@@ -4615,6 +4693,7 @@ ORACLES = {
     "adaptive_quality_filter": _adaptive_quality_sql(),
     "hits_scores": _hits_sql(),
     "interval_overlap": INTERVAL_OVERLAP_SQL,
+    "intra_doc_span_dedup": INTRA_SPAN_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,

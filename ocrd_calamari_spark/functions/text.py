@@ -847,3 +847,81 @@ def compression_signal(
             })
 
     return df.select(id_col, text_col).mapInPandas(fn, schema)
+
+
+def dedup_spans_in_doc(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    token_hash: str | None = None,
+) -> "DataFrame":
+    """Remove REPEATED spans WITHIN each document (the intra-document
+    half of suffix-array-style substring dedup; `span_dedup` is the
+    cross-document half): any token covered by a ``window``-token
+    rolling fingerprint that already occurred EARLIER in the same
+    document is dropped, and the text is reassembled from the surviving
+    tokens — so a page whose template repeats its own header/footer
+    block loses the second copy wholesale (every token of a repeated
+    window is covered by some repeat-window, not just its first token).
+
+    Plan shape: one fingerprint pass (the rolling-hash array, index-
+    aligned with token positions); repeats found with a per-(doc, hash)
+    min-position window; each repeat explodes to its <= ``window``
+    covered positions; a left-anti join keeps the survivors and a
+    per-doc sort+join rebuilds the text.  Everything partitions by
+    doc_id — no cross-document shuffle at all — and the only per-doc
+    buffer is the document's own token list at reassembly (the same
+    bound as any rewrite op).
+
+    Output: (id, n_tokens, n_removed, new_text), byte-exact across
+    engines with the portable ``token_hash``.
+    """
+    from pyspark.sql import Window
+
+    toks_arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        toks_arr.alias("_toks"),
+        rolling_fingerprints(text_col, window=window,
+                             token_hash=token_hash).alias("_fps"),
+    ).withColumn("_n", F.size("_toks"))
+    wins = base.select(
+        id_col, "_n", F.posexplode("_fps").alias("_wi0", "_h")
+    ).withColumn("_widx", F.col("_wi0") + 1)
+    first = Window.partitionBy(id_col, "_h")
+    repeats = (
+        wins.withColumn("_first", F.min("_widx").over(first))
+        .where(F.col("_widx") > F.col("_first"))
+    )
+    drops = repeats.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.col("_widx"),
+                F.least(F.col("_widx") + window - 1, F.col("_n")),
+            )
+        ).alias("_pos"),
+    ).distinct()
+    toks = base.select(
+        id_col, "_n", F.posexplode("_toks").alias("_p0", "_tok")
+    ).withColumn("_pos", F.col("_p0") + 1)
+    kept = toks.join(drops, [id_col, "_pos"], "left_anti")
+    n_rem = drops.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_removed")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.max("_n").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return rebuilt.join(n_rem, id_col, "left").select(
+        id_col, "n_tokens",
+        F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+        "new_text",
+    )

@@ -2457,3 +2457,52 @@ class TestPhash:
         assert got[0][0] is not None and got[0][1] is None
         assert 1 not in got                 # non-image filtered out
         assert got[2][0] is None and got[2][1]  # garbage -> error row
+
+
+class TestIntraDocSpanDedup:
+    def _reference(self, text, window=8):
+        toks = text.strip().split()
+        n = len(toks)
+        n_win = max(n - window + 1, 1)
+        wins = [" ".join(toks[i:i + window]) for i in range(n_win)]
+        first = {}
+        drops = set()
+        for i, w in enumerate(wins):
+            if w in first:
+                for p in range(i, min(i + window, n)):
+                    drops.add(p)
+            else:
+                first[w] = i
+        kept = [t for p, t in enumerate(toks) if p not in drops]
+        return n, len(drops), " ".join(kept)
+
+    def test_matches_python_reference(self, spark):
+        rows = [
+            (1, "a b c d e f g h x y a b c d e f g h z"),   # full repeat
+            (2, "p q r s t u v w p q r s t u v w"),         # back-to-back
+            (3, "one two three four five six seven eight nine"),  # clean
+            (4, "tiny doc"),                                 # < window
+            (5, ("alpha beta gamma delta epsilon zeta eta theta " * 3)
+                .strip()),                                   # triple repeat
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from ocrd_calamari_spark.functions.text import dedup_spans_in_doc
+
+        got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["new_text"])
+               for r in dedup_spans_in_doc(df).collect()}
+        for i, t in rows:
+            assert got[i] == self._reference(t), f"doc {i}"
+        # sanity: the repeats really were removed
+        assert got[2][2] == "p q r s t u v w"
+        assert got[5][1] == 16  # two of the three copies dropped
+
+    def test_no_cross_document_interference(self, spark):
+        # identical docs must NOT dedup against each other (that is
+        # span_dedup's job) — within-doc only
+        rows = [(1, "m n o p q r s t"), (2, "m n o p q r s t")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from ocrd_calamari_spark.functions.text import dedup_spans_in_doc
+
+        got = {r["doc_id"]: r["n_removed"]
+               for r in dedup_spans_in_doc(df).collect()}
+        assert got == {1: 0, 2: 0}
