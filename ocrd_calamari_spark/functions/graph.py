@@ -243,8 +243,9 @@ def hits(
                 )
                 .persist()
             )
-            new_hub.count()
-            # overflow guard: one 2-value agg (bounded collect)
+            # one agg both materializes the persisted table AND fetches
+            # the overflow-guard max — merging the former count() with a
+            # separate max pass saved a full scan per iteration
             m = new_hub.agg(F.max("hub").alias("mh")).collect()[0]["mh"]
             if m is not None and m > (1 << 61):
                 raise OverflowError(
