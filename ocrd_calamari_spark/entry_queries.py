@@ -3004,6 +3004,75 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training END-TO-END: 12 greedy BPE merge iterations over
+    the documents corpus (functions/text.py:bpe_train_merges) — the
+    corpus collapses to a word-frequency table in ONE scan and the loop
+    never touches it again; each iteration is a vocab-sized pair count
+    + a 1-row TakeOrdered argmax + a pure-map literal replace.  The
+    DuckDB twin unrolls the same 12 iterations as successive CTEs over
+    the identical separator-wrapped string representation, so the merge
+    table is hash-exact: same pairs, same ranks, same counts."""
+    from ocrd_calamari_spark.functions.text import bpe_train_merges
+
+    return bpe_train_merges(
+        _t(spark, sf_dir, "documents"), n_merges=12
+    ).orderBy("merge_rank")
+
+
+def _bpe_sql(n_merges: int = 12) -> str:
+    """Unrolled-CTE DuckDB twin of bpe_train_merges (same pattern as
+    _hits_sql): w0 = separator-wrapped word-frequency table; per round r,
+    p_r = adjacent-pair counts, t_r = deterministic argmax, w_r = the
+    merge applied via the same literal replace.
+
+    The w_r CTEs MUST be ``AS MATERIALIZED``: each is referenced twice
+    (by p_{r+1} and w_{r+1}), and DuckDB inlines non-materialized CTEs,
+    which doubles the recomputation per unroll level — 2^12 copies of
+    the word-table scan for 12 merges (measured: the inlined form never
+    finished at sf0.001; materialized runs in 0.17 s)."""
+    S = "chr(31)"
+    parts = [f"""w0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         {S} || array_to_string(regexp_split_to_array(w, ''), {S}||{S})
+            || {S} AS s
+  FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[\\x20-\\x7e]+$')
+  GROUP BY w
+)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS (
+  SELECT struct_extract(z, 1) AS lhs, struct_extract(z, 2) AS rhs,
+         CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (
+    SELECT cnt, unnest(list_zip(toks, toks[2:])) AS z
+    FROM (SELECT cnt, string_split(trim(s, {S}), {S}||{S}) AS toks
+          FROM w{r - 1})
+  ) WHERE struct_extract(z, 2) IS NOT NULL
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""t{r} AS (
+  SELECT lhs, rhs, pair_count FROM p{r}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+)""")
+        parts.append(f"""w{r} AS MATERIALIZED (
+  SELECT cnt,
+         replace(s, {S}||lhs||{S}||{S}||rhs||{S}, {S}||lhs||rhs||{S}) AS s
+  FROM w{r - 1} CROSS JOIN t{r}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, "
+        f"lhs||rhs AS merged, pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel + "\nORDER BY merge_rank"
+
+
+BPE_TRAIN_SQL = _bpe_sql(12)
+
+
 def q_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-design support: per-source χ² divergence of unigram
     distributions vs the corpus (closed-form absent-token mass — only
@@ -4608,6 +4677,7 @@ QUERIES = {
     # ops / compositions of in-window parts (hash-oracled all the same —
     # scripts/check_oracles.py runs every entry) and the two rows-only
     # media signals, which must not displace oracled entries
+    "bpe_train": q_bpe_train,
     "histogram_quantiles": q_histogram_quantiles,
     "crawl_depth": q_crawl_depth,
     "leakage_safe_split": q_leakage_safe_split,
@@ -4675,6 +4745,7 @@ QUERIES = {
 ORACLES = {
     "extract_golden_diff": GOLDEN_DIFF_SQL,
     "bpe_pair_counts": BPE_PAIR_SQL,
+    "bpe_train": BPE_TRAIN_SQL,
     "domain_divergence": DOMAIN_DIVERGENCE_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "bloom_decontaminate": DECONTAMINATE_SQL,

@@ -940,3 +940,125 @@ def dedup_spans_in_doc(
             F.transform(kept, lambda s: s["t"]), " "
         ).alias("new_text"),
     )
+
+
+_BPE_SEP = "\x1f"
+
+
+def bpe_train_merges(
+    df,
+    text_col: str = "text",
+    n_merges: int = 12,
+) -> "DataFrame":
+    """Train a BPE tokenizer's merge table DISTRIBUTED: the classic
+    greedy loop (count adjacent symbol pairs -> merge the most frequent
+    pair everywhere -> repeat) re-expressed so the corpus is scanned
+    EXACTLY ONCE.  Reference position: the glyph->word assembly order
+    (`recognize.py:336-360` builds words from ranked glyph alternatives)
+    inverted into vocabulary LEARNING; completes the tokenizer story
+    next to ``bpe_token_count`` (apply) and ``bpe_pair_counts`` (one
+    counting round).
+
+    Scale shape (the 100 TB argument): the corpus collapses to a
+    word-frequency table in one pass — vocab-sized (~10^6-10^7 rows at
+    web scale), orders of magnitude smaller than the corpus — and the
+    merge loop never touches the corpus again.  Each iteration shuffles
+    only (pair, partial count) rows off that table (map-side partial
+    agg), takes the global argmax with a deterministic tie-break
+    (count DESC, lhs ASC, rhs ASC) as a 1-row TakeOrdered collect
+    (pagerank-style bounded driver scalar), and applies the merge as a
+    pure map.  Per-iteration persist + unpersist cuts the lineage chain
+    exactly like ``graph.pagerank``.
+
+    The merge step needs NO stateful fold: word symbol sequences are
+    carried as separator-wrapped strings (``\\x1f lhs \\x1f\\x1f rhs
+    \\x1f``-style, every token bracketed) and a merge is one literal
+    ``replace`` — left-to-right non-overlapping replacement IS the BPE
+    greedy scan ("aaa" + merge(a,a) -> "aa","a"), and both Spark and
+    DuckDB implement exactly that, which keeps the engine and the
+    oracle byte-identical with zero lambda machinery in the hot path.
+
+    Charset note: symbols start as UTF-16-code-unit characters
+    (``split(w, '')``); the wrapped-string encoding is unambiguous
+    because \\x1f never survives tokenization (non-ASCII-printable
+    words are filtered — a production run on CJK/emoji corpora should
+    split on codepoints instead; documented trade, not a silent one).
+
+    Returns (merge_rank, lhs, rhs, merged, pair_count) with exactly
+    ``n_merges`` rows — callers must size ``n_merges`` below the
+    corpus's distinct-pair count (a tiny corpus that exhausts its pairs
+    raises rather than silently under-returning).
+    """
+    spark = df.sparkSession
+    sep = _BPE_SEP
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .where(F.col("w").rlike(r"^[\x20-\x7e]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    cur = words.select(
+        "cnt",
+        F.concat(
+            F.lit(sep),
+            F.array_join(F.split("w", ""), sep + sep),
+            F.lit(sep),
+        ).alias("s"),
+    ).persist()
+    cur.count()
+    merges = []
+    try:
+        for rank in range(1, n_merges + 1):
+            toks = F.split(
+                F.expr("trim(BOTH char(31) FROM s)"), sep + sep
+            )
+            top = (
+                cur.select(
+                    "cnt",
+                    F.explode(
+                        F.arrays_zip(
+                            toks.alias("l"),
+                            F.slice(toks, F.lit(2), F.size(toks)).alias("r"),
+                        )
+                    ).alias("pr"),
+                )
+                .where(F.col("pr.r").isNotNull())
+                .groupBy(
+                    F.col("pr.l").alias("lhs"), F.col("pr.r").alias("rhs")
+                )
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                raise ValueError(
+                    f"corpus exhausted its adjacent pairs after "
+                    f"{rank - 1} merges; reduce n_merges"
+                )
+            lhs, rhs, cnt = (
+                top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
+            )
+            merges.append((rank, lhs, rhs, lhs + rhs, cnt))
+            nxt = cur.select(
+                "cnt",
+                F.replace(
+                    F.col("s"),
+                    F.lit(sep + lhs + sep + sep + rhs + sep),
+                    F.lit(sep + lhs + rhs + sep),
+                ).alias("s"),
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, lhs string, rhs string, "
+        "merged string, pair_count bigint",
+    )

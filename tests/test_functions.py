@@ -2506,3 +2506,103 @@ class TestIntraDocSpanDedup:
         got = {r["doc_id"]: r["n_removed"]
                for r in dedup_spans_in_doc(df).collect()}
         assert got == {1: 0, 2: 0}
+
+
+class TestBpeTrainMerges:
+    """Distributed BPE merge training vs a pure-Python reference
+    implementation of the classic greedy algorithm (count pairs ->
+    merge argmax everywhere -> repeat, left-to-right non-overlapping)."""
+
+    @staticmethod
+    def _reference(texts, n_merges):
+        from collections import Counter
+        words = Counter()
+        for t in texts:
+            for w in t.strip().lower().split():
+                if w and all(0x20 <= ord(c) <= 0x7E for c in w):
+                    words[w] += 1
+        seqs = {w: list(w) for w in words}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pc = Counter()
+            for w, cnt in words.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += cnt
+            if not pc:
+                break
+            (l, r), c = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, l, r, l + r, c))
+            for w in seqs:
+                s = seqs[w]
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    def test_matches_python_reference(self, spark):
+        from ocrd_calamari_spark.functions.text import bpe_train_merges
+
+        texts = [
+            "the cat sat on the mat",
+            "the hat that the cat wore",
+            "a rat and a cat chat",
+            "hello hello world",
+            "low lower lowest slow slowly",
+            "aaa aaaa aa",          # overlap greediness: "aaa" -> "aa","a"
+        ]
+        exp = self._reference(texts, 10)
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        got = [
+            (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in bpe_train_merges(df, n_merges=10)
+            .orderBy("merge_rank").collect()
+        ]
+        assert got == exp
+
+    def test_multichar_merges_compose(self, spark):
+        # merges of already-merged symbols must use the WHOLE symbols,
+        # never re-split them ("th"+"e" -> "the", not "t"+"he")
+        from ocrd_calamari_spark.functions.text import bpe_train_merges
+
+        texts = ["thethethe thethe the"] * 3
+        exp = self._reference(texts, 4)
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        got = [
+            (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in bpe_train_merges(df, n_merges=4)
+            .orderBy("merge_rank").collect()
+        ]
+        assert got == exp
+
+    def test_pair_exhaustion_raises(self, spark):
+        from ocrd_calamari_spark.functions.text import bpe_train_merges
+
+        df = spark.createDataFrame([("ab ab",)], ["text"])
+        with pytest.raises(ValueError, match="exhausted"):
+            bpe_train_merges(df, n_merges=5)
+
+    def test_non_ascii_words_excluded(self, spark):
+        # charset contract: non-printable-ASCII words never contribute
+        # pairs (they would need codepoint-safe splitting — documented)
+        from ocrd_calamari_spark.functions.text import bpe_train_merges
+
+        texts = ["naïve café naïve", "cat cat cat hat"]
+        exp = self._reference(texts, 2)
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        got = [
+            (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in bpe_train_merges(df, n_merges=2)
+            .orderBy("merge_rank").collect()
+        ]
+        assert got == exp
+        assert all("é" not in m[3] and "ï" not in m[3]
+                   for m in got)
