@@ -3004,6 +3004,43 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50
 """
 
 
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade with exact per-stage drop accounting in
+    ONE corpus scan (functions/text.py:quality_funnel): every signal
+    computed once in a single projection, first-failing CASE cascade,
+    5-row agg of doc and token counts.  Shared-SQL signals, hash-exact
+    vs the identically-cascaded DuckDB twin."""
+    from ocrd_calamari_spark.functions.text import quality_funnel
+
+    return quality_funnel(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("stage_no")
+
+
+def _funnel_sql() -> str:
+    from ocrd_calamari_spark.functions.text import (
+        FUNNEL_STAGE_NAMES, funnel_stage_sql, token_count_sql)
+
+    name = "CASE stage_no " + " ".join(
+        f"WHEN {i + 1} THEN '{n}'"
+        for i, n in enumerate(FUNNEL_STAGE_NAMES)
+    ) + " END"
+    return f"""
+WITH staged AS (
+  SELECT {funnel_stage_sql('text')} AS stage_no,
+         CAST({token_count_sql('text')} AS BIGINT) AS _nt
+  FROM documents
+)
+SELECT CAST(stage_no AS BIGINT) AS stage_no, {name} AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(_nt) AS BIGINT) AS n_tokens
+FROM staged GROUP BY stage_no ORDER BY stage_no
+"""
+
+
+QUALITY_FUNNEL_SQL = _funnel_sql()
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training END-TO-END: 12 greedy BPE merge iterations over
     the documents corpus (functions/text.py:bpe_train_merges) — the
@@ -4678,6 +4715,7 @@ QUERIES = {
     # scripts/check_oracles.py runs every entry) and the two rows-only
     # media signals, which must not displace oracled entries
     "bpe_train": q_bpe_train,
+    "quality_funnel": q_quality_funnel,
     "histogram_quantiles": q_histogram_quantiles,
     "crawl_depth": q_crawl_depth,
     "leakage_safe_split": q_leakage_safe_split,
@@ -4746,6 +4784,7 @@ ORACLES = {
     "extract_golden_diff": GOLDEN_DIFF_SQL,
     "bpe_pair_counts": BPE_PAIR_SQL,
     "bpe_train": BPE_TRAIN_SQL,
+    "quality_funnel": QUALITY_FUNNEL_SQL,
     "domain_divergence": DOMAIN_DIVERGENCE_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "bloom_decontaminate": DECONTAMINATE_SQL,

@@ -1062,3 +1062,79 @@ def bpe_train_merges(
         "merge_rank bigint, lhs string, rhs string, "
         "merged string, pair_count bigint",
     )
+
+
+def funnel_stage_sql(
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_chars: int = 20000,
+    min_quality: str = "5e-1",
+) -> str:
+    """Shared Spark/DuckDB SQL: FIRST-FAILING-stage number for the
+    standard quality funnel (1 too_short, 2 too_long, 3 lang_unknown,
+    4 low_quality, 5 kept).  ``min_quality`` is an e-notation string
+    literal on purpose (cross-engine float parity — CLAUDE.md)."""
+    toks = token_count_sql(text_col)
+    return (
+        f"case"
+        f" when ({toks}) < {min_tokens} then 1"
+        f" when length({text_col}) > {max_chars} then 2"
+        f" when ({lang_id_sql(text_col)}) = 'und' then 3"
+        f" when ({quality_score_sql(text_col)}) < {min_quality} then 4"
+        f" else 5 end"
+    )
+
+
+FUNNEL_STAGE_NAMES = (
+    "too_short", "too_long", "lang_unknown", "low_quality", "kept"
+)
+
+
+def quality_funnel(
+    df,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_chars: int = 20000,
+    min_quality: str = "5e-1",
+) -> "DataFrame":
+    """Per-stage drop accounting for the quality-filter cascade, fused
+    into ONE corpus scan: (stage_no, stage, n_docs, n_tokens) with
+    first-failing-stage attribution.  The production alternative — one
+    pass per filter — scans the corpus k times and still can't
+    attribute a doc to the FIRST filter that rejected it without extra
+    bookkeeping; here every signal (token count, length, language ID,
+    quality score) is computed once in a single projection, the CASE
+    cascade assigns the stage, and a 5-row aggregation yields exact doc
+    and token counts per stage.  All signals live in the shared
+    Spark/DuckDB SQL subset (length/replace/case arithmetic), so the
+    funnel is hash-exact vs the oracle.
+
+    Scale shape: one scan, map-side partial agg onto ≤ 5 groups, a
+    5-row exchange.  n_tokens per stage is the number pipeline owners
+    actually watch (token mass removed per filter), integer-exact.
+    """
+    stage_no = funnel_stage_sql(text_col, min_tokens, max_chars,
+                                min_quality)
+    name = "case stage_no " + " ".join(
+        f"when {i + 1} then '{n}'"
+        for i, n in enumerate(FUNNEL_STAGE_NAMES)
+    )
+    return (
+        df.select(
+            F.expr(stage_no).alias("stage_no"),
+            F.expr(f"cast({token_count_sql(text_col)} as bigint)").alias(
+                "_nt"
+            ),
+        )
+        .groupBy("stage_no")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("stage_no").cast("bigint").alias("stage_no"),
+            F.expr(f"{name} end").alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )

@@ -2606,3 +2606,34 @@ class TestBpeTrainMerges:
         assert got == exp
         assert all("é" not in m[3] and "ï" not in m[3]
                    for m in got)
+
+
+class TestQualityFunnel:
+    def test_stage_accounting_exact(self, spark):
+        from ocrd_calamari_spark.functions.text import quality_funnel
+
+        rows = [
+            (1, "a b"),                                    # too_short
+            (2, "x " * 30000),                             # too_long
+            (3, " ".join(f"tok{i}" for i in range(40))),   # lang und
+            (4, ("the cat is on the mat and it is a cat. "
+                 "it is the mat of the cat! is it the cat? "
+                 "the answer is that it is.")),            # kept (en, punct)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.stage: (r.n_docs, r.n_tokens)
+               for r in quality_funnel(df).collect()}
+        assert got["too_short"] == (1, 2)
+        assert got["too_long"][0] == 1
+        assert "lang_unknown" in got or "low_quality" in got
+        total_docs = sum(v[0] for v in got.values())
+        assert total_docs == 4  # every doc attributed to exactly one stage
+
+    def test_first_failing_stage_wins(self, spark):
+        # a doc that is BOTH too short and und-language must land in
+        # too_short (stage order is the contract)
+        from ocrd_calamari_spark.functions.text import quality_funnel
+
+        df = spark.createDataFrame([(1, "zz qq")], ["doc_id", "text"])
+        rows = quality_funnel(df).collect()
+        assert len(rows) == 1 and rows[0].stage == "too_short"
