@@ -197,50 +197,41 @@ def hits(
     Scale shape: per iteration, two equi-joins shipping only
     (node, score) pairs against the persisted edge table, partial-agg
     sums — identical economics to ``pagerank``; per-iteration persist +
-    count cuts the lineage chain.  The RETURNED DataFrame is persisted;
-    caller owns the unpersist (bench/check_oracles clear the cache).
+    count cuts the lineage chain.  Score tables stay SPARSE through the
+    loop (a node absent from the table has score 0 — zero scores
+    contribute nothing to neighborhood sums, so dropping the rows is
+    exact): the earlier dense form left-joined the full node set back in
+    TWICE per iteration just to carry explicit zeros; the sparse form
+    zero-fills against the node set exactly once, at the end.  The
+    RETURNED DataFrame is persisted; caller owns the unpersist
+    (bench/check_oracles clear the cache).
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().persist()
     e.count()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    hub = nodes.select("node", F.lit(1).cast("bigint").alias("hub")).persist()
+    # hub init = 1 for every node WITH an outgoing edge (sparse form of
+    # the all-ones vector: nodes without out-edges contribute nothing
+    # to any authority sum in round 1)
+    hub = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1).cast("bigint").alias("hub")
+    ).persist()
     auth = None
     try:
         for _ in range(iters):
-            a_raw = (
+            new_auth = (
                 e.join(hub, e["src"] == hub["node"])
                 .groupBy("dst")
-                .agg(F.sum("hub").alias("_a"))
-            )
-            new_auth = (
-                nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
-                .select(
-                    "node",
-                    F.coalesce(F.col("_a"), F.lit(0)).cast("bigint")
-                    .alias("authority"),
-                )
+                .agg(F.sum("hub").cast("bigint").alias("authority"))
+                .select(F.col("dst").alias("node"), "authority")
                 .persist()
             )
             new_auth.count()
-            h_raw = (
+            new_hub = (
                 e.join(new_auth, e["dst"] == new_auth["node"])
                 .groupBy("src")
-                .agg(F.sum("authority").alias("_h"))
-            )
-            new_hub = (
-                nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
-                .select(
-                    "node",
-                    F.coalesce(F.col("_h"), F.lit(0)).cast("bigint")
-                    .alias("hub"),
-                )
+                .agg(F.sum("authority").cast("bigint").alias("hub"))
+                .select(F.col("src").alias("node"), "hub")
                 .persist()
             )
             # one agg both materializes the persisted table AND fetches
@@ -256,13 +247,26 @@ def hits(
             if auth is not None:
                 auth.unpersist()
             hub, auth = new_hub, new_auth
-        out = auth.join(hub, "node").select(
-            "node", "authority", "hub"
-        ).persist()
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        out = (
+            nodes.join(auth, "node", "left")
+            .join(hub, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("authority"), F.lit(0)).cast("bigint")
+                .alias("authority"),
+                F.coalesce(F.col("hub"), F.lit(0)).cast("bigint")
+                .alias("hub"),
+            )
+            .persist()
+        )
         out.count()  # materialized -> the iteration caches can go
         hub.unpersist()
         auth.unpersist()
         return out
     finally:
         e.unpersist()
-        nodes.unpersist()
