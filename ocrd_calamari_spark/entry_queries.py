@@ -3004,6 +3004,57 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50
 """
 
 
+def q_fuzzy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical-url discovery (Levenshtein ≤ 1) via SymSpell-style
+    deletion-neighborhood blocking (functions/urls.py:fuzzy_url_pairs)
+    over a deterministic fixture where every 5th doc carries a one-char
+    truncation of its neighbor's url.  The blocking join has EXACT
+    recall at distance 1; the DuckDB twin is the brute-force all-pairs
+    levenshtein join, so a hash match certifies both recall and the
+    verify step."""
+    from ocrd_calamari_spark.functions.urls import fuzzy_url_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _base(idcol):
+        return F.concat(
+            F.lit("https://host"),
+            F.lpad((idcol % 40).cast("string"), 2, "0"),
+            F.lit(".example/p/"),
+            idcol.cast("string"),
+        )
+
+    nxt = _base(F.col("doc_id") + 1)
+    url = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.substring(nxt, F.lit(1), F.length(nxt) - 1),
+    ).otherwise(_base(F.col("doc_id")))
+    return fuzzy_url_pairs(d.select("doc_id", url.alias("url"))).orderBy(
+        "id_a", "id_b"
+    )
+
+
+FUZZY_URLS_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN substr(b2, 1, length(b2) - 1)
+              ELSE b1 END AS url
+  FROM (
+    SELECT doc_id,
+           'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+             || '.example/p/' || CAST(doc_id AS VARCHAR) AS b1,
+           'https://host' || lpad(CAST((doc_id + 1) % 40 AS VARCHAR), 2, '0')
+             || '.example/p/' || CAST(doc_id + 1 AS VARCHAR) AS b2
+    FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.url, b.url) AS BIGINT) AS dist
+FROM m a JOIN m b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.url, b.url) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter cascade with exact per-stage drop accounting in
     ONE corpus scan (functions/text.py:quality_funnel): every signal
@@ -4716,6 +4767,7 @@ QUERIES = {
     # media signals, which must not displace oracled entries
     "bpe_train": q_bpe_train,
     "quality_funnel": q_quality_funnel,
+    "fuzzy_urls": q_fuzzy_urls,
     "histogram_quantiles": q_histogram_quantiles,
     "crawl_depth": q_crawl_depth,
     "leakage_safe_split": q_leakage_safe_split,
@@ -4785,6 +4837,7 @@ ORACLES = {
     "bpe_pair_counts": BPE_PAIR_SQL,
     "bpe_train": BPE_TRAIN_SQL,
     "quality_funnel": QUALITY_FUNNEL_SQL,
+    "fuzzy_urls": FUZZY_URLS_SQL,
     "domain_divergence": DOMAIN_DIVERGENCE_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "bloom_decontaminate": DECONTAMINATE_SQL,

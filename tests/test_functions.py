@@ -2637,3 +2637,61 @@ class TestQualityFunnel:
         df = spark.createDataFrame([(1, "zz qq")], ["doc_id", "text"])
         rows = quality_funnel(df).collect()
         assert len(rows) == 1 and rows[0].stage == "too_short"
+
+
+class TestFuzzyUrlPairs:
+    def test_blocking_matches_brute_force(self, spark):
+        from ocrd_calamari_spark.functions.urls import fuzzy_url_pairs
+        import itertools
+
+        urls = [
+            (1, "https://a.example/p/1"),
+            (2, "https://a.example/p/12"),   # insertion of '2' vs 1
+            (3, "https://a.examp1e/p/1"),    # substitution vs 1
+            (4, "https://b.example/q/7"),    # isolated
+            (5, "https://a.example/p/1"),    # exact dup of 1 (dist 0)
+            (6, "https://ab.example/p/9"),
+            (7, "https://ba.example/p/9"),   # dist 2 vs 6 (shared del keys)
+        ]
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1,
+                        prev + (ca != cb),
+                    )
+            return dp[len(b)]
+
+        want = sorted(
+            (a[0], b[0], lev(a[1], b[1]))
+            for a, b in itertools.combinations(urls, 2)
+            if lev(a[1], b[1]) <= 1
+        )
+        df = spark.createDataFrame(urls, ["doc_id", "url"])
+        got = sorted(
+            (r.id_a, r.id_b, r.dist)
+            for r in fuzzy_url_pairs(df).collect()
+        )
+        assert got == want
+        # the dist-2 shared-deletion-key pair (6,7) must be verified away
+        assert (6, 7, 2) not in got
+
+    def test_no_quadratic_plan(self, spark):
+        # candidates come from an equi join on deletion keys — the plan
+        # must not contain a nested-loop/cartesian node
+        import contextlib, io
+        from ocrd_calamari_spark.functions.urls import fuzzy_url_pairs
+
+        df = spark.createDataFrame(
+            [(i, f"https://h.example/p/{i}") for i in range(50)],
+            ["doc_id", "url"],
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fuzzy_url_pairs(df).explain("simple")
+        plan = buf.getvalue()
+        assert "Cartesian" not in plan
+        assert "BroadcastNestedLoop" not in plan
