@@ -357,6 +357,18 @@ class TestRound4NewOpPlans:
         assert "Exchange" not in plan
         assert "Python" not in plan  # no UDF fallback
 
+    def test_quality_funnel_is_one_scan_one_exchange(self, spark):
+        """The fused filter cascade reads the corpus once and exchanges
+        only the <= 5 stage groups: exactly one Exchange (the partial ->
+        final agg boundary), two HashAggregates, no Python."""
+        from ocrd_calamari_spark.functions.text import quality_funnel
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(quality_funnel(d), "simple")
+        assert plan.count("Exchange") == 1
+        assert plan.count("HashAggregate") == 2
+        assert "Python" not in plan
+
     def test_intra_doc_span_dedup_is_zero_shuffle_map(self, spark):
         """Within-document repeated-span removal is per-doc array algebra
         inside one projection: scan → project, no Exchange of any kind,
