@@ -4694,6 +4694,292 @@ GROUP BY k.doc_id ORDER BY k.doc_id
 """
 
 
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-capture recrawl dedup: one row per url, the newest
+    revision wins (the Common-Crawl "latest snapshot per url" collapse; the
+    recency counterpart of `keep_best_dedup`'s quality argmax and
+    `snapshot_diff`'s CDC classification).  Revisions are injected
+    deterministically: every 7th ≡ 2 url was recrawled once, every 21st ≡ 2
+    twice.  Scale shape: a single groupBy(url) with map-side partial
+    `max`/`max_by`/`count` — one exchange of (url, rev, len) triples, the
+    page payload itself never shuffles (the kept revision's text would be
+    re-fetched by key in a real sink, or carried via max_by over a
+    payload-pruned column as here with its length)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    r1 = d.select("doc_id", F.lit(1).alias("rev"), "text")
+    r2 = d.where(F.col("doc_id") % 7 == 2).select(
+        "doc_id",
+        F.lit(2).alias("rev"),
+        F.concat("text", F.lit(" updated revision two")).alias("text"),
+    )
+    r3 = d.where(F.col("doc_id") % 21 == 2).select(
+        "doc_id",
+        F.lit(3).alias("rev"),
+        F.concat("text", F.lit(" updated revision three final")).alias("text"),
+    )
+    revs = r1.unionByName(r2).unionByName(r3)
+    return (
+        revs.groupBy("doc_id")
+        .agg(
+            F.max("rev").cast("bigint").alias("kept_rev"),
+            F.count("*").alias("n_revs"),
+            F.max_by(F.length("text").cast("bigint"), "rev").alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LATEST_SNAPSHOT_SQL = """
+WITH revs AS (
+  SELECT doc_id, 1 AS rev, text FROM documents
+  UNION ALL
+  SELECT doc_id, 2, text || ' updated revision two'
+  FROM documents WHERE doc_id % 7 = 2
+  UNION ALL
+  SELECT doc_id, 3, text || ' updated revision three final'
+  FROM documents WHERE doc_id % 21 = 2
+)
+SELECT doc_id, CAST(max(rev) AS BIGINT) AS kept_rev,
+       CAST(count(*) AS BIGINT) AS n_revs,
+       CAST(max_by(length(text), rev) AS BIGINT) AS kept_chars
+FROM revs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style canonical-text exact dedup
+    (functions/dedup.py:normalized_duplicates): lowercase, strip
+    punctuation, collapse whitespace, THEN hash — catching trivial
+    variants (case flips, punctuation noise) that raw `exact_dedup`
+    misses and MinHash over-pays for.  Variants are injected for the
+    first 50 docs (uppercased + trailing '!!').  Scale shape: rows
+    reduce to (id, 16-byte fingerprint) before the one exchange; text
+    never shuffles."""
+    from ocrd_calamari_spark.functions.dedup import normalized_duplicates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = d.unionByName(variants)
+    return normalized_duplicates(corpus, "doc_id", "text").orderBy("doc_id")
+
+
+NORMALIZED_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || ' !!'
+  FROM documents WHERE doc_id < 50
+), n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM corpus
+)
+SELECT doc_id,
+       CAST(min(doc_id) OVER (PARTITION BY norm) AS BIGINT) AS rep_id,
+       CAST(count(*) OVER (PARTITION BY norm) AS BIGINT) AS n_members,
+       doc_id <> min(doc_id) OVER (PARTITION BY norm) AS is_dup
+FROM n ORDER BY doc_id
+"""
+
+
+_SOFT404_REASONS = [
+    ("page not found", "not_found"),
+    ("access denied", "denied"),
+    ("enable javascript", "js_required"),
+    ("captcha", "captcha"),
+]
+
+
+def q_soft404_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 / stop-page detection: pages that return HTTP 200 but carry
+    an error/interstitial template instead of content (the crawl-cleaning
+    filter CCNet/C4 apply before any quality scoring).  First-match-wins
+    over a fixed pattern priority; templates are injected deterministically
+    (every 23rd ≡ 5 a 404 page, ≡ 9 a JS/captcha wall).  Scale shape: pure
+    row-local map — zero shuffles beyond the scan; the pattern list is a
+    compile-time constant, not a joined table."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eff = (
+        F.when(
+            F.col("doc_id") % 23 == 5,
+            F.lit(
+                "Error 404: Page Not Found. The requested URL was rejected."
+            ),
+        )
+        .when(
+            F.col("doc_id") % 23 == 9,
+            F.lit(
+                "Access Denied. Please enable JavaScript and complete the"
+                " CAPTCHA to continue."
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    low = F.lower(eff)
+    reason = F.lit("ok")
+    for pat, tag in reversed(_SOFT404_REASONS):
+        reason = F.when(F.instr(low, pat) > 0, F.lit(tag)).otherwise(reason)
+    return d.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason != "ok").alias("is_soft404"),
+        F.length(eff).cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+SOFT404_SQL = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 5 THEN
+                'Error 404: Page Not Found. The requested URL was rejected.'
+              WHEN doc_id % 23 = 9 THEN
+                'Access Denied. Please enable JavaScript and complete the'
+                || ' CAPTCHA to continue.'
+              ELSE text END AS text
+  FROM documents
+), cls AS (
+  SELECT doc_id,
+         CASE WHEN contains(lower(text), 'page not found') THEN 'not_found'
+              WHEN contains(lower(text), 'access denied') THEN 'denied'
+              WHEN contains(lower(text), 'enable javascript')
+                THEN 'js_required'
+              WHEN contains(lower(text), 'captcha') THEN 'captcha'
+              ELSE 'ok' END AS reason,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM corpus
+)
+SELECT doc_id, reason, reason <> 'ok' AS is_soft404, n_chars
+FROM cls ORDER BY doc_id
+"""
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every doc gets a seeded
+    portable hash; shard = hash mod N, position = hash-order rank WITHIN
+    the shard.  This is the training-data writer's layout (N shard files,
+    each internally hash-ordered; readers interleave shards round-robin)
+    — and deliberately NOT a global row_number, whose single-task
+    global-order window is exactly what a 10^12-row shuffle cannot do.
+    Scale shape: one hash-partition exchange on `shard`; the per-shard
+    sort is the sink's sortWithinPartitions, each task bounded by
+    corpus/N.  Reordering is a pure function of (seed, doc_id): stable
+    under reruns and cluster size."""
+    from ocrd_calamari_spark.functions.dedup import PORTABLE_TOKEN_HASH_SQL
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.expr(
+        PORTABLE_TOKEN_HASH_SQL.format(
+            t="concat('shuf42:', cast(doc_id as string))"
+        )
+    )
+    keyed = d.select(
+        "doc_id", h.alias("_h"), F.pmod(h, F.lit(16)).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return (
+        keyed.withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .select("doc_id", F.col("shard").cast("bigint").alias("shard"), "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+GLOBAL_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuf42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 16 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h ORDER BY shard, pos
+"""
+
+
+_VOCAB_COVERAGE_KS = [16, 64, 256, 1024]
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design coverage curve: what fraction of corpus token
+    occurrences (basis points, integer-exact) a top-k candidate vocabulary
+    of word BIGRAMS covers, at k = 16/64/256/1024 — the measurement that
+    sizes a merge vocabulary before BPE training (`bpe_train` consumes the
+    decision this curve informs).  Scale shape: explode → two-level
+    hash agg (map-side partial) → TakeOrdered-style `orderBy.limit` keeps
+    only the top max(k) rows; the rank window then runs over ≤1024 rows
+    (bounded by construction, same pattern as packed_offsets' subtotal
+    table); totals ride a 1-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), " ")
+    bigrams = d.select(toks.alias("_t")).where(F.size("_t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1),"
+                " i -> concat(element_at(_t, i), ' ', element_at(_t, i+1)))"
+            )
+        ).alias("bigram")
+    )
+    counts = (
+        bigrams.where(F.col("bigram") != "")
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    kmax = max(_VOCAB_COVERAGE_KS)
+    top = counts.orderBy(F.desc("n"), "bigram").limit(kmax)
+    wr = Window.orderBy(F.desc("n"), "bigram")  # ≤ kmax rows: bounded
+    ranked = top.withColumn("r", F.row_number().over(wr))
+    ks = spark.createDataFrame(
+        [(k,) for k in _VOCAB_COVERAGE_KS], "vocab_size long"
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("total_tokens"))
+    return (
+        ks.join(ranked, F.col("r") <= F.col("vocab_size"), "left")
+        .groupBy("vocab_size")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias(
+            "covered_tokens"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "coverage_bp",
+            F.expr("covered_tokens * 10000 div total_tokens").cast("bigint"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+VOCAB_COVERAGE_SQL = r"""
+WITH t AS (
+  SELECT string_split(lower(trim(text)), ' ') AS toks FROM documents
+), bg AS (
+  SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                 for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS bigram
+  FROM t WHERE len(toks) >= 2
+), counts AS (
+  SELECT bigram, count(*) AS n FROM bg WHERE bigram <> '' GROUP BY 1
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, bigram) AS r
+  FROM counts ORDER BY r LIMIT 1024
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM counts
+), ks AS (
+  SELECT unnest([16, 64, 256, 1024]) AS vocab_size
+)
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(coalesce(sum(n) FILTER (r <= vocab_size), 0) AS BIGINT)
+         AS covered_tokens,
+       (SELECT total_tokens FROM tot) AS total_tokens,
+       CAST(coalesce(sum(n) FILTER (r <= vocab_size), 0) * 10000
+            // (SELECT total_tokens FROM tot) AS BIGINT) AS coverage_bp
+FROM ks CROSS JOIN ranked
+GROUP BY vocab_size ORDER BY vocab_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4770,6 +5056,14 @@ QUERIES = {
     # correctness contracts live in pytest recall pins and the judge's
     # full check_oracles gate), so they must not displace hash-checkable
     # round-4 entries that have never had a driver row.
+    # --- round-4 late additions (post-window this round: certified by the
+    # judge's full check_oracles gate + the pytest fast-parity subset;
+    # promotable into the sample window once the above keys land green).
+    "latest_snapshot": q_latest_snapshot,
+    "normalized_dedup": q_normalized_dedup,
+    "soft404_filter": q_soft404_filter,
+    "global_shuffle": q_global_shuffle,
+    "vocab_coverage": q_vocab_coverage,
     "chunk_documents": q_chunk_documents,
     "rolling_fingerprints": q_rolling_fingerprints,
     "minhash_dedup": q_minhash_dedup,
@@ -4837,6 +5131,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "latest_snapshot": LATEST_SNAPSHOT_SQL,
+    "normalized_dedup": NORMALIZED_DEDUP_SQL,
+    "soft404_filter": SOFT404_SQL,
+    "global_shuffle": GLOBAL_SHUFFLE_SQL,
+    "vocab_coverage": VOCAB_COVERAGE_SQL,
     "extract_golden_diff": GOLDEN_DIFF_SQL,
     "bpe_pair_counts": BPE_PAIR_SQL,
     "bpe_train": BPE_TRAIN_SQL,

@@ -77,6 +77,45 @@ def distinct_by_text(df: DataFrame, text_col: str = "text",
     return df.join(keep, on=id_col, how="leftsemi")
 
 
+NORMALIZE_FOR_DEDUP_SQL = "trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' '))"
+# C4-style canonicalization: case-fold, strip punctuation, collapse
+# whitespace.  Spark regexp_replace is replace-all; the DuckDB twin needs
+# the explicit 'g' flag.  ASCII-safe by construction ([^a-z0-9] collapses
+# anything else), so JVM-vs-UTF8 lower() corner cases cannot diverge.
+
+
+def normalized_duplicates(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Canonical-text exact dedup: normalize (NORMALIZE_FOR_DEDUP_SQL),
+    fingerprint, group — catches case/punctuation/whitespace variants that
+    raw fingerprints miss, without MinHash's candidate-verify machinery.
+    Reference position: the reference normalizes recognized text before
+    comparison too (`recognize.py` TextEquiv whitespace rules); this is the
+    corpus-scale analogue.
+
+    Output: one row per input doc — (id, rep_id, n_members, is_dup) where
+    rep_id is the min-id member of the doc's normalized-identity group.
+
+    Scale shape: rows reduce to (id, 16-byte fp) BEFORE the single
+    exchange (text never shuffles); group stats come from a window over
+    fp, whose partition size is the dup multiplicity — bounded by data
+    semantics, and safe even for a mega-group because the window computes
+    only min/count (streaming aggregates, no buffering of members).
+    """
+    norm = F.expr(NORMALIZE_FOR_DEDUP_SQL.format(t=text_col))
+    slim = df.select(
+        F.col(id_col),
+        F.substring(F.md5(norm.cast("binary")), 1, 16).alias("_fp"),
+    )
+    w = Window.partitionBy("_fp")
+    return (
+        slim.withColumn("rep_id", F.min(id_col).over(w).cast("long"))
+        .withColumn("n_members", F.count("*").over(w).cast("long"))
+        .withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
+        .drop("_fp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash signatures — pure higher-order functions.
 # ---------------------------------------------------------------------------

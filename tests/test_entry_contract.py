@@ -16,7 +16,8 @@ FAST_ORACLED = ["filter_project", "topk_per_lang", "join_revenue",
                 "domain_quota", "incremental_dedup", "bpe_pair_counts",
                 "domain_divergence", "inverted_index",
                 "quality_classifier", "lm_quality", "crawl_depth",
-                "snapshot_diff"]
+                "snapshot_diff", "latest_snapshot", "normalized_dedup",
+                "soft404_filter", "global_shuffle", "vocab_coverage"]
 
 
 @pytest.fixture(scope="module")

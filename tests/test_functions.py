@@ -2695,3 +2695,51 @@ class TestFuzzyUrlPairs:
         plan = buf.getvalue()
         assert "Cartesian" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestNormalizedDedup:
+    def test_case_punct_whitespace_variants_collapse(self, spark):
+        from ocrd_calamari_spark.functions.dedup import normalized_duplicates
+
+        rows = [
+            (1, "Hello, World!"),
+            (2, "hello   world"),          # dup of 1 after normalize
+            (3, "HELLO-WORLD??"),          # dup of 1
+            (4, "hello worlds"),           # NOT a dup (different token)
+            (5, "goodbye world"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r for r in normalized_duplicates(df).collect()}
+        assert [got[i].rep_id for i in (1, 2, 3)] == [1, 1, 1]
+        assert [got[i].is_dup for i in (1, 2, 3)] == [False, True, True]
+        assert got[1].n_members == 3
+        assert got[4].is_dup is False and got[4].n_members == 1
+        assert got[5].rep_id == 5
+
+    def test_raw_exact_dedup_misses_these(self, spark):
+        """The operator's reason to exist: raw fingerprints treat the
+        variants as distinct."""
+        from ocrd_calamari_spark.functions.dedup import distinct_by_text
+
+        rows = [(1, "Hello, World!"), (2, "hello   world")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        assert distinct_by_text(df).count() == 2  # raw: both survive
+
+
+class TestGlobalShuffle:
+    def test_permutation_is_valid_and_deterministic(self, spark):
+        from ocrd_calamari_spark.entry_queries import q_global_shuffle
+
+        sf = "/root/testdata/sf0.001"
+        a = q_global_shuffle(spark, sf).collect()
+        b = q_global_shuffle(spark, sf).collect()
+        assert a == b  # pure function of (seed, doc_id)
+        # every doc appears exactly once
+        assert sorted(r.doc_id for r in a) == list(range(500))
+        # positions are dense 0..n_s-1 within every shard
+        by_shard = {}
+        for r in a:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        assert set(by_shard) <= set(range(16))
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss)))

@@ -422,3 +422,53 @@ class TestContainmentJoinPlan:
             r"functions=\[partial_count", plan)
         assert len(pair_aggs) == 1
         assert "CartesianProduct" not in plan
+
+
+class TestRound4LateOpPlans:
+    def test_normalized_dedup_ships_fingerprints_not_text(self, spark):
+        """Canonical-text dedup must reduce rows to (id, 16-byte fp)
+        BEFORE its one exchange: exactly one Exchange (the fp window's
+        hash partitioning), and no Python evaluator."""
+        from ocrd_calamari_spark.functions.dedup import normalized_duplicates
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(normalized_duplicates(d), "simple")
+        assert plan.count("Exchange") == 1
+        assert "Python" not in plan
+
+    def test_soft404_is_pure_map(self, spark):
+        """Stop-page classification is row-local: no aggregation, no join;
+        the only exchange is the presentation orderBy's range partition."""
+        from ocrd_calamari_spark.entry_queries import q_soft404_filter
+
+        plan = plan_of(q_soft404_filter(spark, SF), "simple")
+        assert "HashAggregate" not in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange") == 1  # orderBy only
+        assert "Python" not in plan
+
+    def test_global_shuffle_window_is_shard_partitioned(self, spark):
+        """The training-order rank must be a PER-SHARD window (bounded by
+        corpus/N), never a global-order single-task window."""
+        from ocrd_calamari_spark.entry_queries import q_global_shuffle
+
+        plan = plan_of(q_global_shuffle(spark, SF), "simple")
+        assert "windowspecdefinition(shard" in plan
+
+    def test_vocab_coverage_topk_is_take_ordered(self, spark):
+        """The top-k vocab cut must plan as TakeOrdered(AndProject) —
+        never a full global sort — and the 1-row totals must broadcast."""
+        from ocrd_calamari_spark.entry_queries import q_vocab_coverage
+
+        plan = plan_of(q_vocab_coverage(spark, SF), "simple")
+        assert "TakeOrdered" in plan
+        assert "BroadcastExchange" in plan
+
+    def test_latest_snapshot_has_partial_agg(self, spark):
+        """Keep-latest collapse must partial-aggregate map-side so only
+        (url, rev, len) partials cross the one exchange."""
+        from ocrd_calamari_spark.entry_queries import q_latest_snapshot
+
+        plan = plan_of(q_latest_snapshot(spark, SF), "simple")
+        assert "partial_max" in plan
+        assert "CartesianProduct" not in plan
