@@ -4980,6 +4980,151 @@ GROUP BY vocab_size ORDER BY vocab_size
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact paragraph dedup, FIRST-occurrence-wins (the CCNet
+    cross-shard paragraph pass): every repeat of a paragraph anywhere in
+    the corpus is removed, documents rebuilt byte-exact from survivors.
+    Complements `boilerplate_lines` (per-DOMAIN df threshold — a paragraph
+    must repeat within its domain) and `span_dedup` (sub-paragraph window
+    fingerprints): this is the global exact-paragraph rule.  Fixture:
+    docs share an intro paragraph per doc_id%5 group and a closing one per
+    doc_id%3 group; both collapse to their first global occurrence.
+
+    Scale shape: paragraphs shuffle once into md5-hash partitions for the
+    first-occurrence rank (group size = dup multiplicity), survivors
+    shuffle once more keyed by doc_id for reassembly — text crosses the
+    wire exactly twice, the same CCNet lower bound as boilerplate_lines;
+    the rank ships (hash, doc, idx) and is a streaming row_number, never
+    a buffered aggregate."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Shared intro paragraph number "),
+            (F.col("doc_id") % 5).cast("string"), F.lit("\n"),
+            F.col("text"), F.lit("\nCommon closing paragraph "),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    from ocrd_calamari_spark.functions.text import dedup_paragraphs_global
+
+    return dedup_paragraphs_global(corpus).orderBy("doc_id")
+
+
+PARAGRAPH_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id,
+         'Shared intro paragraph number ' || CAST(doc_id % 5 AS VARCHAR)
+         || chr(10) || text || chr(10)
+         || 'Common closing paragraph ' || CAST(doc_id % 3 AS VARCHAR)
+           AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id, generate_subscripts(ps, 1) - 1 AS idx, unnest(ps) AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM corpus)
+), kept AS (
+  SELECT doc_id, idx, para FROM (
+    SELECT doc_id, idx, para,
+           row_number() OVER (PARTITION BY md5(para)
+                              ORDER BY doc_id, idx) AS rn
+    FROM paras
+  ) WHERE rn = 1
+), totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM paras GROUP BY 1
+), rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(para, chr(10) ORDER BY idx) AS new_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_paras,
+       t.n_paras - COALESCE(r.n_kept, 0) AS n_removed,
+       COALESCE(r.new_text, '') AS new_text
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode the corpus with the merge table
+    `bpe_train` learns (8 merges here) and report per-doc subword counts
+    — the token-budget accounting step after training
+    (functions/text.py:bpe_encode_counts).  Scale shape: merges apply to
+    the DISTINCT-word table only (vocab-sized, nested literal replaces —
+    never a per-corpus-token loop); docs then broadcast-join the
+    (word → n_subwords) map and aggregate; the 8-row merge-table collect
+    is the only driver state."""
+    from ocrd_calamari_spark.functions.text import (
+        bpe_encode_counts, bpe_train_merges)
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_merges(docs, n_merges=8)
+        .orderBy("merge_rank")
+        .collect()  # bounded: exactly n_merges rows
+    ]
+    return bpe_encode_counts(docs, merges).orderBy("doc_id")
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """Unrolled-CTE DuckDB twin of train-then-encode: the v_r chain is
+    BPE_TRAIN_SQL's w_r chain carrying the word key through every round
+    (same cnt weights, same deterministic argmax, same literal replace),
+    then each doc's words join the final per-word subword counts."""
+    S = "chr(31)"
+    parts = [f"""v0 AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         {S} || array_to_string(regexp_split_to_array(w, ''), {S}||{S})
+            || {S} AS s
+  FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[\\x20-\\x7e]+$')
+  GROUP BY w
+)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS (
+  SELECT struct_extract(z, 1) AS lhs, struct_extract(z, 2) AS rhs,
+         CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (
+    SELECT cnt, unnest(list_zip(toks, toks[2:])) AS z
+    FROM (SELECT cnt, string_split(trim(s, {S}), {S}||{S}) AS toks
+          FROM v{r - 1})
+  ) WHERE struct_extract(z, 2) IS NOT NULL
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""t{r} AS (
+  SELECT lhs, rhs FROM p{r}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+)""")
+        parts.append(f"""v{r} AS MATERIALIZED (
+  SELECT w, cnt,
+         replace(s, {S}||lhs||{S}||{S}||rhs||{S}, {S}||lhs||rhs||{S}) AS s
+  FROM v{r - 1} CROSS JOIN t{r}
+)""")
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+enc AS (
+  SELECT w, CAST(len(string_split(trim(s, {S}), {S}||{S})) AS BIGINT)
+           AS n_sub
+  FROM v{n_merges}
+), docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[\\x20-\\x7e]+$')
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords
+FROM docw JOIN enc USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql(8)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5064,6 +5209,8 @@ QUERIES = {
     "soft404_filter": q_soft404_filter,
     "global_shuffle": q_global_shuffle,
     "vocab_coverage": q_vocab_coverage,
+    "paragraph_dedup": q_paragraph_dedup,
+    "bpe_encode": q_bpe_encode,
     "chunk_documents": q_chunk_documents,
     "rolling_fingerprints": q_rolling_fingerprints,
     "minhash_dedup": q_minhash_dedup,
@@ -5136,6 +5283,8 @@ ORACLES = {
     "soft404_filter": SOFT404_SQL,
     "global_shuffle": GLOBAL_SHUFFLE_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
+    "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+    "bpe_encode": BPE_ENCODE_SQL,
     "extract_golden_diff": GOLDEN_DIFF_SQL,
     "bpe_pair_counts": BPE_PAIR_SQL,
     "bpe_train": BPE_TRAIN_SQL,

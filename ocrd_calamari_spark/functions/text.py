@@ -1064,6 +1064,106 @@ def bpe_train_merges(
     )
 
 
+def dedup_paragraphs_global(df, id_col: str = "doc_id",
+                            text_col: str = "text") -> "DataFrame":
+    """Corpus-level exact paragraph dedup, first-occurrence-wins (CCNet's
+    cross-shard paragraph pass): every repeat of a '\\n'-delimited
+    paragraph anywhere in the corpus is removed; documents are rebuilt
+    byte-exact from survivors (a doc whose every paragraph was seen
+    earlier rebuilds to '').
+
+    Scale shape: paragraphs shuffle once into md5-hash partitions for the
+    streaming row_number rank (partition size = dup multiplicity),
+    survivors shuffle once more keyed by doc for reassembly — text
+    crosses the wire exactly twice (the CCNet lower bound); the rank
+    never buffers a group.
+
+    Returns (id, n_paras, n_removed, new_text).
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(text_col, "\n")).alias("idx", "para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("para").cast("binary"))).orderBy(
+        id_col, "idx"
+    )
+    kept = paras.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s.para,
+            ),
+            "\n",
+        ).alias("new_text"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_paras",
+        (F.col("n_paras") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )
+
+
+def bpe_encode_counts(df, merges, text_col: str = "text") -> "DataFrame":
+    """Apply a trained BPE merge table and count per-doc subwords — the
+    token-budget accounting step after ``bpe_train_merges``.
+
+    ``merges`` is the ordered [(lhs, rhs), ...] list from training.  The
+    merge chain applies to the DISTINCT-word table only (vocab-sized),
+    as one nested stack of literal ``replace`` expressions — whole-stage
+    codegen, zero per-corpus-token work; each document's words then join
+    the (word → n_subwords) map (vocab side broadcasts) and aggregate.
+    Same separator-wrapped representation and left-to-right non-overlap
+    replace semantics as training, so the DuckDB twin is byte-identical.
+
+    Returns (doc_id, n_words, n_subwords); docs with zero ASCII words
+    drop (inner join), mirroring the training-side token filter.
+    """
+    sep = _BPE_SEP
+    docw = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.col("w").rlike(r"^[\x20-\x7e]+$"))
+    )
+    vocab = docw.select("w").distinct()
+    s = F.concat(
+        F.lit(sep), F.array_join(F.split("w", ""), sep + sep), F.lit(sep)
+    )
+    for lhs, rhs in merges:
+        s = F.replace(
+            s,
+            F.lit(sep + lhs + sep + sep + rhs + sep),
+            F.lit(sep + lhs + rhs + sep),
+        )
+    enc = vocab.select(
+        "w",
+        F.size(F.split(F.btrim(s, F.lit(sep)), sep + sep))
+        .cast("bigint")
+        .alias("n_sub"),
+    )
+    return (
+        docw.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+        )
+    )
+
+
 def funnel_stage_sql(
     text_col: str = "text",
     min_tokens: int = 10,

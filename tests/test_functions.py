@@ -2743,3 +2743,63 @@ class TestGlobalShuffle:
         assert set(by_shard) <= set(range(16))
         for shard, poss in by_shard.items():
             assert sorted(poss) == list(range(len(poss)))
+
+
+class TestParagraphDedup:
+    def test_first_occurrence_wins_and_byte_exact_rebuild(self, spark):
+        from ocrd_calamari_spark.functions.text import dedup_paragraphs_global
+
+        rows = [
+            (1, "intro\nbody one\nfooter"),
+            (2, "intro\nbody two\nfooter"),   # loses intro+footer
+            (3, "intro\nbody one\nfooter"),   # loses EVERYTHING
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r for r in dedup_paragraphs_global(df).collect()}
+        assert got[1].new_text == "intro\nbody one\nfooter"
+        assert (got[1].n_paras, got[1].n_removed) == (3, 0)
+        assert got[2].new_text == "body two"
+        assert (got[2].n_paras, got[2].n_removed) == (3, 2)
+        # a fully-duplicated doc must still get a row, rebuilt to ''
+        assert got[3].new_text == ""
+        assert (got[3].n_paras, got[3].n_removed) == (3, 3)
+
+
+class TestBpeEncodeCounts:
+    def test_matches_python_reference(self, spark):
+        """Subword counts after 2 merges == a direct python BPE apply."""
+        from ocrd_calamari_spark.functions.text import (
+            bpe_encode_counts, bpe_train_merges)
+
+        rows = [(1, "aaab aaab banana"), (2, "aaab banana banana aa")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        merges = [
+            (r.lhs, r.rhs)
+            for r in bpe_train_merges(df, n_merges=2)
+            .orderBy("merge_rank").collect()
+        ]
+
+        def py_encode(word):
+            syms = list(word)
+            for lhs, rhs in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == lhs
+                            and syms[i + 1] == rhs):
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        want = {
+            d: (len(t.split()), sum(py_encode(w) for w in t.split()))
+            for d, t in rows
+        }
+        got = {
+            r.doc_id: (r.n_words, r.n_subwords)
+            for r in bpe_encode_counts(df, merges).collect()
+        }
+        assert got == want

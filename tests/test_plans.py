@@ -472,3 +472,29 @@ class TestRound4LateOpPlans:
         plan = plan_of(q_latest_snapshot(spark, SF), "simple")
         assert "partial_max" in plan
         assert "CartesianProduct" not in plan
+
+    def test_paragraph_dedup_rank_is_hash_partitioned(self, spark):
+        """The first-occurrence rank must window over md5(para)
+        partitions (streaming row_number; partition = dup multiplicity),
+        never a global-order window."""
+        from ocrd_calamari_spark.entry_queries import q_paragraph_dedup
+
+        plan = plan_of(q_paragraph_dedup(spark, SF), "simple")
+        # the md5 key projects to _w0; the rank partitions on it
+        assert "windowspecdefinition(_w0" in plan
+        # rn==1 plans as a PARTIAL WindowGroupLimit — dup paragraphs
+        # collapse map-side BEFORE the hash exchange (better than the
+        # docstring's streaming-row_number floor)
+        assert "WindowGroupLimit" in plan and ", Partial" in plan
+        assert "Python" not in plan
+
+    def test_bpe_encode_vocab_map_broadcasts(self, spark):
+        """The (word -> n_subwords) map is vocab-sized and must broadcast;
+        the merge chain itself is literal replaces — no Python."""
+        from ocrd_calamari_spark.functions.text import bpe_encode_counts
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(bpe_encode_counts(d, [("t", "h"), ("th", "e")]),
+                       "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan
