@@ -73,6 +73,8 @@ HEADLINE = [
     "sparse_cosine_join",
     "lm_quality",
     "pmi_pairs",
+    "paragraph_dedup",
+    "bpe_encode",
 ]
 
 

@@ -5125,6 +5125,40 @@ GROUP BY doc_id ORDER BY doc_id
 BPE_ENCODE_SQL = _bpe_encode_sql(8)
 
 
+def q_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k uniform sample: the 64 docs with the lowest
+    seeded portable hash — the eval-set carve (`weighted_sample` /
+    `mixture_sample` are Bernoulli: expected size only; an eval set needs
+    EXACTLY k, reproducibly).  Scale shape: orderBy+limit plans as
+    TakeOrdered (per-partition top-k, k-row merge — never a global sort);
+    membership is a pure function of (seed, doc_id): corpus growth only
+    ever swaps items whose hash crosses the k-th order statistic, it
+    never reshuffles the rest."""
+    from ocrd_calamari_spark.functions.dedup import PORTABLE_TOKEN_HASH_SQL
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.expr(
+        PORTABLE_TOKEN_HASH_SQL.format(
+            t="concat('sample7:', cast(doc_id as string))"
+        )
+    )
+    return (
+        d.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(64)
+        .select("doc_id", "h")
+    )
+
+
+EXACT_SAMPLE_SQL = """
+SELECT doc_id,
+       ('0x' || substr(md5('sample7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         ::BIGINT AS h
+FROM documents
+ORDER BY h, doc_id LIMIT 64
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5211,6 +5245,7 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "paragraph_dedup": q_paragraph_dedup,
     "bpe_encode": q_bpe_encode,
+    "exact_sample": q_exact_sample,
     "chunk_documents": q_chunk_documents,
     "rolling_fingerprints": q_rolling_fingerprints,
     "minhash_dedup": q_minhash_dedup,
@@ -5285,6 +5320,7 @@ ORACLES = {
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "bpe_encode": BPE_ENCODE_SQL,
+    "exact_sample": EXACT_SAMPLE_SQL,
     "extract_golden_diff": GOLDEN_DIFF_SQL,
     "bpe_pair_counts": BPE_PAIR_SQL,
     "bpe_train": BPE_TRAIN_SQL,

@@ -498,3 +498,12 @@ class TestRound4LateOpPlans:
                        "simple")
         assert "BroadcastHashJoin" in plan
         assert "Python" not in plan
+
+    def test_exact_sample_is_take_ordered(self, spark):
+        """The exact-k carve must plan as TakeOrdered (per-partition
+        top-k, k-row merge), never a global sort."""
+        from ocrd_calamari_spark.entry_queries import q_exact_sample
+
+        plan = plan_of(q_exact_sample(spark, SF), "simple")
+        assert "TakeOrdered" in plan
+        assert "Python" not in plan
