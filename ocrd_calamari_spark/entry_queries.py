@@ -3562,6 +3562,61 @@ ORDER BY id
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-ngram importance weight per document
+    (functions/selection.py) — the target-vs-source contrastive selection
+    score (target slice: lang = 'en'); log-free rational form, hash-exact
+    vs DuckDB.  Gram strings never shuffle: only (doc, bucket, count)
+    rows and the broadcast <=1024-row bucket-weight table move."""
+    from ocrd_calamari_spark.functions.selection import importance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return importance_weights(d, "lang = 'en'").orderBy("doc_id")
+
+
+DSIR_WEIGHTS_SQL = """
+WITH t AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         string_split(lower(text), ' ') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, is_t,
+         list_concat(
+           toks,
+           list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                          i -> array_to_string(toks[i:i+1], ' '))) AS feats
+  FROM t
+), e AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(unnest(feats)), 1, 15))::BIGINT % 1024 AS bucket
+  FROM f
+), db AS (
+  SELECT doc_id, is_t, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2, 3
+), bs AS (
+  SELECT bucket, CAST(SUM(c) AS BIGINT) AS cs,
+         CAST(SUM(is_t * c) AS BIGINT) AS ct
+  FROM db GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(cs) AS BIGINT) AS ns, CAST(SUM(ct) AS BIGINT) AS nt
+  FROM bs
+), w AS (
+  SELECT bucket,
+         CAST(floor(((CAST(ct + 1 AS DOUBLE) * CAST(ns + 1024 AS DOUBLE))
+                      / (CAST(cs + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE)))
+                    * 1e9 + 5e-1) AS BIGINT) AS q
+  FROM bs CROSS JOIN tot
+), s AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(SUM(c * q) AS BIGINT) AS score_q
+  FROM db JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       (CAST(score_q AS DOUBLE) / 1e9) / CAST(n_grams AS DOUBLE) AS weight
+FROM s ORDER BY doc_id
+"""
+
+
 def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token associations by PMI over a ±2 co-occurrence window
     (functions/text.py:cooccurrence_pmi) — pair generation is a pure
@@ -5238,6 +5293,7 @@ QUERIES = {
     # --- round-4 late additions (post-window this round: certified by the
     # judge's full check_oracles gate + the pytest fast-parity subset;
     # promotable into the sample window once the above keys land green).
+    "dsir_weights": q_dsir_weights,
     "latest_snapshot": q_latest_snapshot,
     "normalized_dedup": q_normalized_dedup,
     "soft404_filter": q_soft404_filter,
@@ -5336,6 +5392,7 @@ ORACLES = {
     "sparse_cosine_join": SPARSE_COSINE_SQL,
     "quality_classifier": QUALITY_CLASSIFIER_SQL,
     "lm_quality": LM_QUALITY_SQL,
+    "dsir_weights": DSIR_WEIGHTS_SQL,
     "pmi_pairs": PMI_PAIRS_SQL,
     "leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "snapshot_diff": _snapshot_diff_sql(),

@@ -2803,3 +2803,83 @@ class TestBpeEncodeCounts:
             for r in bpe_encode_counts(df, merges).collect()
         }
         assert got == want
+
+
+class TestImportanceWeights:
+    """DSIR-style hashed-ngram importance weights (functions/selection.py)."""
+
+    @staticmethod
+    def _ref(docs, n_buckets=1024):
+        """Pure-python mirror of the exact arithmetic (same fp op order)."""
+        import hashlib
+        from collections import Counter
+
+        def feats(text):
+            toks = text.lower().split(" ")
+            grams = ([" ".join(toks[j:j + 2])
+                      for j in range(len(toks) - 1)] or [toks[0]])
+            return toks + grams
+
+        def bucket(f):
+            h = int(hashlib.md5(f.encode()).hexdigest()[:15], 16)
+            return h % n_buckets
+
+        per_doc, cs, ct = {}, Counter(), Counter()
+        for i, text, lang in docs:
+            c = Counter(bucket(f) for f in feats(text))
+            per_doc[i] = c
+            for b, n in c.items():
+                cs[b] += n
+                if lang == "en":
+                    ct[b] += n
+        ns, nt = sum(cs.values()), sum(ct.values())
+
+        def q(b):
+            import math
+            r = (float(ct[b] + 1) * float(ns + n_buckets)) \
+                / (float(cs[b] + 1) * float(nt + n_buckets))
+            return math.floor(r * 1e9 + 0.5)
+
+        out = {}
+        for i, c in per_doc.items():
+            n_grams = sum(c.values())
+            score_q = sum(n * q(b) for b, n in c.items())
+            out[i] = (n_grams, (float(score_q) / 1e9) / float(n_grams))
+        return out
+
+    def test_matches_python_reference_exactly(self, spark):
+        from ocrd_calamari_spark.functions.selection import importance_weights
+
+        docs = [
+            (0, "the quick brown fox jumps over the lazy dog", "en"),
+            (1, "der schnelle braune fuchs springt", "de"),
+            (2, "the the the the", "en"),
+            (3, "le renard brun rapide saute", "fr"),
+            (4, "single", "zh"),
+            (5, "the quick brown fox again here", "de"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+        got = {r.doc_id: (r.n_grams, r.weight)
+               for r in importance_weights(df, "lang = 'en'").collect()}
+        assert got == self._ref(docs)
+
+    def test_target_like_text_outweighs_off_target(self, spark):
+        """A doc written from target-slice grams must score above a doc
+        written from off-target grams (the selection signal itself)."""
+        from ocrd_calamari_spark.functions.selection import importance_weights
+
+        target = [(i, "alpha beta gamma delta epsilon zeta", "en")
+                  for i in range(8)]
+        other = [(100 + i, "uno dos tres cuatro cinco seis", "fr")
+                 for i in range(8)]
+        probe = [(900, "alpha beta gamma delta", "fr"),
+                 (901, "uno dos tres cuatro", "fr")]
+        df = spark.createDataFrame(target + other + probe,
+                                   ["doc_id", "text", "lang"])
+        # small bucket count: the +B add-one smoothing must not swamp a
+        # tiny fixture's counts (at corpus scale NS >> B and the default
+        # 1024 is fine; the estimator itself is what's under test here)
+        got = {r.doc_id: r.weight
+               for r in importance_weights(df, "lang = 'en'",
+                                           n_buckets=64).collect()}
+        assert got[900] > 1.0 > got[901]

@@ -507,3 +507,16 @@ class TestRound4LateOpPlans:
         plan = plan_of(q_exact_sample(spark, SF), "simple")
         assert "TakeOrdered" in plan
         assert "Python" not in plan
+
+    def test_dsir_weight_table_broadcasts(self, spark):
+        """The <=1024-row bucket-weight table must broadcast back onto the
+        compact (doc, bucket, count) table — no sort-merge join anywhere —
+        and gram counting must partial-aggregate map-side so gram strings
+        never cross an exchange.  All-JVM: no Python evaluator."""
+        from ocrd_calamari_spark.entry_queries import q_dsir_weights
+
+        plan = plan_of(q_dsir_weights(spark, SF), "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "partial_count" in plan
+        assert "Python" not in plan
