@@ -75,6 +75,7 @@ HEADLINE = [
     "pmi_pairs",
     "paragraph_dedup",
     "bpe_encode",
+    "dsir_weights",
 ]
 
 
