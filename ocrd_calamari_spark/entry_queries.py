@@ -4371,6 +4371,61 @@ FROM c, t ORDER BY n DESC, user_id LIMIT 15
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain two-sample KS drift of the doc-length distribution vs
+    the rest of the corpus (functions/profile.py:ks_drift) — the
+    numeric-marginal distribution-shift monitor (domain_divergence is
+    the token-content sibling).  Cross-multiplied integer CDFs, one
+    final IEEE division — hash-exact; shuffle volume is domains x
+    length-grid (width 50), independent of row count."""
+    from ocrd_calamari_spark.functions.profile import ks_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return ks_drift(d, "source", "n_chars", bucket_width=50).orderBy(
+        "domain"
+    )
+
+
+KS_DRIFT_SQL = """
+WITH h AS (
+  SELECT source AS g, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), tv AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS c_all FROM h GROUP BY v
+), grid AS (
+  SELECT v, CAST(SUM(c_all) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_all
+  FROM tv
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM h
+), gs AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM h GROUP BY g
+), cums AS (
+  SELECT gs.g, gs.n_g, grid.v, grid.cum_all,
+         CAST(SUM(COALESCE(h.c, 0)) OVER (
+                PARTITION BY gs.g ORDER BY grid.v
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g
+  FROM gs CROSS JOIN grid
+  LEFT JOIN h ON h.g = gs.g AND h.v = grid.v
+), nums AS (
+  SELECT g, n_g, v, n,
+         abs(CAST(cum_g AS DECIMAL(18,0)) * CAST(n - n_g AS DECIMAL(18,0))
+             - CAST(cum_all - cum_g AS DECIMAL(18,0))
+               * CAST(n_g AS DECIMAL(18,0))) AS num
+  FROM cums CROSS JOIN tot
+), m AS (
+  SELECT g, n_g, n, MAX(num) AS num FROM nums GROUP BY 1, 2, 3
+)
+SELECT m.g AS domain, m.n_g AS n_docs,
+       (CAST(m.num AS DOUBLE)
+        / (CAST(m.n_g AS DOUBLE) * CAST(m.n - m.n_g AS DOUBLE))) AS ks,
+       MIN(nums.v) AS at_v
+FROM m JOIN nums ON nums.g = m.g AND nums.num = m.num
+GROUP BY 1, 2, 3 ORDER BY domain
+"""
+
+
 def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle-containment join (functions/dedup.py:
     containment_join): |sub ∩ sup| / |sub| >= 0.9 — the one-sided
@@ -5294,6 +5349,7 @@ QUERIES = {
     # judge's full check_oracles gate + the pytest fast-parity subset;
     # promotable into the sample window once the above keys land green).
     "dsir_weights": q_dsir_weights,
+    "ks_drift": q_ks_drift,
     "latest_snapshot": q_latest_snapshot,
     "normalized_dedup": q_normalized_dedup,
     "soft404_filter": q_soft404_filter,
@@ -5393,6 +5449,7 @@ ORACLES = {
     "quality_classifier": QUALITY_CLASSIFIER_SQL,
     "lm_quality": LM_QUALITY_SQL,
     "dsir_weights": DSIR_WEIGHTS_SQL,
+    "ks_drift": KS_DRIFT_SQL,
     "pmi_pairs": PMI_PAIRS_SQL,
     "leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "snapshot_diff": _snapshot_diff_sql(),

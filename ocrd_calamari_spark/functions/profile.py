@@ -207,3 +207,95 @@ def skew_report(
         .cast("bigint").alias("mult_x100"),
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: int = 1,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov drift of an integer
+    column's distribution vs the REST of the corpus — the
+    distribution-shift monitor a refresh pipeline runs per domain /
+    per crawl-batch before quality thresholds calibrated on old data
+    are trusted on new data (`domain_divergence` is the token-content
+    sibling; this is the numeric-marginal one).
+
+    KS = max_v |F_g(v) - F_rest(v)| evaluated on the merged value grid.
+    Everything stays integer until ONE final division: with cum_g /
+    cum_rest the cumulative counts and n_g / n_rest the group sizes,
+    the per-point statistic is the cross-multiplied
+
+        num(v) = |cum_g(v) * n_rest  -  cum_rest(v) * n_g|
+
+    (DECIMAL(18,0) operands -> exact DECIMAL products at 10^12 rows),
+    maximized per group, then ks = num / (n_g * n_rest) as one IEEE
+    division — order-independent, partitioning-invariant, hash-exact.
+    ``at_v`` reports the grid value attaining the max (ties -> min v),
+    i.e. WHERE the distributions diverge most.
+
+    Scale shape: the corpus reduces to a (group, bucket, count)
+    histogram with map-side combine — shuffle volume is group-count x
+    grid-size, independent of row count (``bucket_width`` sets the
+    grid; same contract as `histogram_quantiles`).  The corpus-marginal
+    cumulative runs as a single-partition window over the GRID (bounded
+    by quantization, never data rows — the vocab_coverage argument);
+    per-group cumulatives window over (group, grid) partitions; grid
+    and totals broadcast.
+    """
+    from pyspark.sql import Window
+
+    w = int(bucket_width)
+    v = (F.floor(F.col(value_col) / w) * w).cast("bigint")
+    h = (
+        df.select(F.col(group_col).alias("g"), v.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    tv = h.groupBy("v").agg(F.sum("c").alias("c_all"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    grid = tv.select(
+        "v", F.sum("c_all").over(wv).alias("cum_all")
+    )
+    tot = h.agg(F.sum("c").alias("n"))
+    gs = h.groupBy("g").agg(F.sum("c").alias("n_g"))
+    wg = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dec = "decimal(18,0)"
+    nums = (
+        gs.crossJoin(F.broadcast(grid))
+        .join(h, ["g", "v"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .withColumn("cum_g", F.sum("c").over(wg))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g", "n_g", "v", "n",
+            F.abs(
+                F.col("cum_g").cast(dec)
+                * (F.col("n") - F.col("n_g")).cast(dec)
+                - (F.col("cum_all") - F.col("cum_g")).cast(dec)
+                * F.col("n_g").cast(dec)
+            ).alias("num"),
+        )
+    )
+    m = nums.groupBy("g", "n_g", "n").agg(F.max("num").alias("num"))
+    return (
+        m.join(nums.select("g", "v", "num"), ["g", "num"])
+        .groupBy("g", "n_g", "n", "num")
+        .agg(F.min("v").alias("at_v"))
+        .select(
+            F.col("g").alias("domain"),
+            F.col("n_g").cast("bigint").alias("n_docs"),
+            (
+                F.col("num").cast("double")
+                / (
+                    F.col("n_g").cast("double")
+                    * (F.col("n") - F.col("n_g")).cast("double")
+                )
+            ).alias("ks"),
+            F.col("at_v").alias("at_v"),
+        )
+    )

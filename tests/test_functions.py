@@ -2883,3 +2883,61 @@ class TestImportanceWeights:
                for r in importance_weights(df, "lang = 'en'",
                                            n_buckets=64).collect()}
         assert got[900] > 1.0 > got[901]
+
+
+class TestKsDrift:
+    """Two-sample KS drift monitor (functions/profile.py:ks_drift)."""
+
+    @staticmethod
+    def _ref(rows, width):
+        """Pure-python mirror of the cross-multiplied-CDF arithmetic."""
+        from collections import Counter
+
+        h = Counter(((g, (val // width) * width) for g, val in rows))
+        grid = sorted({v for _, v in h})
+        groups = sorted({g for g, _ in h})
+        n = sum(h.values())
+        out = {}
+        for g in groups:
+            n_g = sum(c for (gg, _), c in h.items() if gg == g)
+            cum_g = cum_all = 0
+            best = (-1, None)
+            for v in grid:
+                cum_g += h.get((g, v), 0)
+                cum_all += sum(c for (gg, vv), c in h.items() if vv == v)
+                num = abs(cum_g * (n - n_g) - (cum_all - cum_g) * n_g)
+                if num > best[0]:
+                    best = (num, v)
+            out[g] = (n_g, float(best[0]) / (float(n_g) * float(n - n_g)),
+                      best[1])
+        return out
+
+    def test_matches_python_reference_exactly(self, spark):
+        from ocrd_calamari_spark.functions.profile import ks_drift
+
+        rows = [("a", x) for x in [3, 7, 12, 18, 25, 31, 44, 52]] + \
+               [("b", x) for x in [4, 8, 11, 19, 26, 33, 41, 55]] + \
+               [("c", x) for x in [103, 117, 128, 144, 152, 161]]
+        df = spark.createDataFrame(rows, ["src", "val"])
+        got = {r.domain: (r.n_docs, r.ks, r.at_v)
+               for r in ks_drift(df, "src", "val", bucket_width=10).collect()}
+        assert got == self._ref(rows, 10)
+
+    def test_shifted_group_reads_as_drift(self, spark):
+        """The group whose distribution is displaced must carry the
+        largest KS; statistically-identical groups stay near zero."""
+        from ocrd_calamari_spark.functions.profile import ks_drift
+
+        # the moved group must be SMALL relative to the corpus: each
+        # group's complement is "the rest", so a large displaced group
+        # legitimately raises every other group's KS too
+        same = [(f"s{k}", 100 + (i * 37) % 200)
+                for k in range(4) for i in range(200)]
+        moved = [("mv", 900 + (i * 37) % 200) for i in range(50)]
+        df = spark.createDataFrame(same + moved, ["src", "val"])
+        got = {r.domain: r.ks
+               for r in ks_drift(df, "src", "val", bucket_width=10).collect()}
+        assert got["mv"] > 0.9
+        for k in range(4):
+            assert got["mv"] > got[f"s{k}"]
+            assert got[f"s{k}"] < 0.1

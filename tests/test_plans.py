@@ -520,3 +520,15 @@ class TestRound4LateOpPlans:
         assert "SortMergeJoin" not in plan
         assert "partial_count" in plan
         assert "Python" not in plan
+
+    def test_ks_drift_histogram_partial_aggs_and_broadcasts(self, spark):
+        """The corpus must reduce to a (group, bucket) histogram with
+        map-side combine (shuffle = domains x grid, not rows); grid and
+        totals ride broadcasts; all-JVM."""
+        from ocrd_calamari_spark.entry_queries import q_ks_drift
+
+        plan = plan_of(q_ks_drift(spark, SF), "simple")
+        assert "partial_count" in plan
+        assert "BroadcastExchange" in plan
+        assert "windowspecdefinition(g" in plan  # per-group cumulative
+        assert "Python" not in plan
