@@ -127,13 +127,19 @@ def extract_page(
                  "text": text, "conf": conf}
             )
             if want_words:
-                for word_no, m in enumerate(_WORD_RE.finditer(text)):
-                    ws, we = m.span()
+                # normalize_block guarantees single-space-separated text
+                # with no leading/trailing space, so split(" ") yields
+                # exactly _WORD_RE's non-space runs and offsets are the
+                # running sums — no match objects (equivalence pinned by
+                # test_fastpath_equiv's word-span property)
+                ws = 0
+                for word_no, w in enumerate(text.split(" ")):
+                    we = ws + len(w)
                     word_id = "%s_word%04d" % (block_id, word_no)  # recognize.py:349
                     words_out.append(
                         {"block_id": block_id, "word_id": word_id,
                          "start": start + ws, "end": start + we,
-                         "text": m.group()}
+                         "text": w}
                     )
                     if want_glyphs:
                         for k in range(ws, we):
@@ -156,6 +162,7 @@ def extract_page(
                                     "alts": alts,
                                 }
                             )
+                    ws = we + 1  # skip the single separating space
             doc_parts.append(text)
             doc_pos = end
 

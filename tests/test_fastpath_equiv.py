@@ -88,3 +88,31 @@ def test_normalized_invariants(text, fused):
     if out:
         assert len(p1) == len(out)
         assert 0.5 <= conf <= 0.999
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    text=st.text(alphabet=ALPHABET, min_size=1, max_size=120),
+    fused=st.floats(min_value=0.5, max_value=1.0, allow_nan=False).map(
+        lambda x: round(x, 6)
+    ),
+)
+def test_split_word_offsets_equal_regex_spans_on_normalized(text, fused):
+    """extract_page's split(' ')-with-running-offsets word emission is
+    equivalent to the old _WORD_RE.finditer over normalize_block output
+    (single internal spaces, no leading/trailing) — the invariant the
+    round-4 split rewrite rides on."""
+    import re
+
+    out, _, _ = normalize_block(text, fused)
+    if not out:
+        return
+    regex = [(m.start(), m.end(), m.group())
+             for m in re.finditer(r"[^ ]+", out)]
+    split = []
+    ws = 0
+    for w in out.split(" "):
+        we = ws + len(w)
+        split.append((ws, we, w))
+        ws = we + 1
+    assert split == regex
