@@ -3617,6 +3617,33 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Simpson character-concentration index
+    (functions/text.py:char_diversity) — the mojibake/char-spam signal;
+    exact integer Σc², one IEEE division, hash-exact vs DuckDB.  The
+    char explode partial-aggs map-side into (doc, char, count) rows
+    bounded by per-doc alphabet size."""
+    from ocrd_calamari_spark.functions.text import char_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    return char_diversity(d).orderBy("doc_id")
+
+
+CHAR_DIVERSITY_SQL = """
+WITH e AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
+), c AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       (CAST(SUM(c * c) AS DOUBLE)
+        / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))) AS simpson
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token associations by PMI over a ±2 co-occurrence window
     (functions/text.py:cooccurrence_pmi) — pair generation is a pure
@@ -5350,6 +5377,7 @@ QUERIES = {
     # promotable into the sample window once the above keys land green).
     "dsir_weights": q_dsir_weights,
     "ks_drift": q_ks_drift,
+    "char_diversity": q_char_diversity,
     "latest_snapshot": q_latest_snapshot,
     "normalized_dedup": q_normalized_dedup,
     "soft404_filter": q_soft404_filter,
@@ -5450,6 +5478,7 @@ ORACLES = {
     "lm_quality": LM_QUALITY_SQL,
     "dsir_weights": DSIR_WEIGHTS_SQL,
     "ks_drift": KS_DRIFT_SQL,
+    "char_diversity": CHAR_DIVERSITY_SQL,
     "pmi_pairs": PMI_PAIRS_SQL,
     "leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "snapshot_diff": _snapshot_diff_sql(),

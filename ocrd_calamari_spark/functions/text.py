@@ -1238,3 +1238,58 @@ def quality_funnel(
             "n_tokens",
         )
     )
+
+
+def char_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars, n_distinct, simpson) — per-document character-level
+    concentration, the mojibake / keyboard-mash / repeated-char-spam
+    signal the token-level filters structurally miss (a doc of
+    "aaaa…" or "ŃŃŃ…" tokenizes into few "words" but screams at the
+    character histogram; `compression_signal` sees it too but needs the
+    Python zlib path — this is its all-JVM exact sibling).
+
+    ``simpson`` is the Simpson concentration index Σ(cᵢ/n)² ∈ (0, 1]:
+    1 = a single repeated character, →1/n = all characters distinct.
+    Chosen over entropy because it needs no transcendental function —
+    Σcᵢ² is an exact BIGINT and the index is ONE IEEE division, so the
+    DuckDB oracle is hash-exact (the domain_divergence/χ² argument).
+
+    Scale shape: the char explode partial-aggregates map-side into
+    (doc, char, count) rows — per-doc fan-in is bounded by the
+    document's ALPHABET (≤ a few hundred), not its length — and the
+    per-doc rollup is a second compact agg; text itself never shuffles.
+    Charset note: Spark splits per UTF-16 code unit, so astral-plane
+    characters count as surrogate pairs (same caveat as `bpe_train`);
+    empty documents are excluded (split("") is [] in Spark but [''] in
+    DuckDB — the length guard keeps both engines aligned).
+    """
+    occ = (
+        df.where(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "")).alias("ch"),
+        )
+    )
+    counts = occ.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("_c2"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            "n_distinct",
+            (
+                F.col("_c2").cast("double")
+                / (
+                    F.col("n_chars").cast("double")
+                    * F.col("n_chars").cast("double")
+                )
+            ).alias("simpson"),
+        )
+    )

@@ -2941,3 +2941,45 @@ class TestKsDrift:
         for k in range(4):
             assert got["mv"] > got[f"s{k}"]
             assert got[f"s{k}"] < 0.1
+
+
+class TestCharDiversity:
+    """Simpson character-concentration (functions/text.py:char_diversity)."""
+
+    def test_matches_python_reference_exactly(self, spark):
+        from collections import Counter
+
+        from ocrd_calamari_spark.functions.text import char_diversity
+
+        docs = [(0, "hello world"), (1, "aaaaaaaa"), (2, "abcdefgh"),
+                (3, "mixé çhars döc"), (4, "x")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r.doc_id: (r.n_chars, r.n_distinct, r.simpson)
+               for r in char_diversity(df).collect()}
+        want = {}
+        for i, t in docs:
+            c = Counter(t)
+            n = sum(c.values())
+            c2 = sum(v * v for v in c.values())
+            want[i] = (n, len(c), float(c2) / (float(n) * float(n)))
+        assert got == want
+
+    def test_empty_docs_are_excluded(self, spark):
+        from ocrd_calamari_spark.functions.text import char_diversity
+
+        df = spark.createDataFrame([(0, ""), (1, "ok")], ["doc_id", "text"])
+        got = char_diversity(df).collect()
+        assert [r.doc_id for r in got] == [1]
+
+    def test_spam_reads_concentrated_prose_reads_diverse(self, spark):
+        """Repeated-char spam must sit near 1; normal prose well below."""
+        from ocrd_calamari_spark.functions.text import char_diversity
+
+        df = spark.createDataFrame(
+            [(0, "a" * 400),
+             (1, "The quick brown fox jumps over the lazy dog near banks "
+                 "of rivers while autumn leaves drift quietly downstream.")],
+            ["doc_id", "text"])
+        got = {r.doc_id: r.simpson for r in char_diversity(df).collect()}
+        assert got[0] == 1.0
+        assert got[1] < 0.12

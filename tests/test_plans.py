@@ -532,3 +532,14 @@ class TestRound4LateOpPlans:
         assert "BroadcastExchange" in plan
         assert "windowspecdefinition(g" in plan  # per-group cumulative
         assert "Python" not in plan
+
+    def test_char_diversity_partial_aggs_before_exchange(self, spark):
+        """The char explode must collapse map-side into (doc, char, count)
+        partials (fan-in bounded by per-doc alphabet, not length); no
+        join, all-JVM."""
+        from ocrd_calamari_spark.entry_queries import q_char_diversity
+
+        plan = plan_of(q_char_diversity(spark, SF), "simple")
+        assert "partial_count" in plan
+        assert "Join" not in plan
+        assert "Python" not in plan
