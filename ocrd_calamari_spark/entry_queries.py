@@ -3617,6 +3617,116 @@ FROM s ORDER BY doc_id
 """
 
 
+# one shared literal for the injected link-farm payload — the Spark query
+# and the DuckDB oracle both embed THIS string, so the fixtures cannot
+# drift apart (same discipline as _PAGE_HEAD/_PAGE_FOOT)
+_FARM_BLOB = "".join(
+    f'<a href="https://spam{k}.example/offer">buy now</a>' for k in range(200)
+)
+
+
+def q_link_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink spam score per page — the web-graph spam signal (link
+    farms: high outdegree spread across many distinct hosts) that text
+    quality filters structurally miss.  Corpus = the synthesized pages
+    plus injected link-farm pages (doc_id < 30; 200 distinct-host spam
+    links each — the containment_join injection pattern).
+
+    Exact outputs: n_links, n_hosts (relative links resolve to the
+    page's own host), host_spread_bp = floor(n_hosts*10000/n_links),
+    is_spam = n_links >= 50 AND spread >= 5000 — all integer, hash-exact.
+    At 100 TB this is a PURE MAP over the pages scan (href extraction,
+    host resolution and distinct-count are per-row array HOFs, all-JVM);
+    no shuffle beyond the presentation orderBy."""
+    pages = pages_from_documents(spark, sf_dir).select("url", "html")
+    farms = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 30)
+        .select(
+            F.concat(
+                F.lit("https://farm"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example/f/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit(_PAGE_HEAD),
+                F.lit("<article><p>"),
+                F.lit(_FARM_BLOB),
+                F.lit("</p></article>"),
+                F.lit(_PAGE_FOOT),
+            ).cast("binary").alias("html"),
+        )
+    )
+    corpus = pages.unionByName(farms)
+    hrefs = r"""regexp_extract_all(cast(html as string), 'href="([^"]*)"', 1)"""
+    own = r"regexp_extract(url, '^https?://([^/]+)', 1)"
+    hosts = (
+        f"transform({hrefs}, h -> case when h like 'http%' "
+        f"then regexp_extract(h, '^https?://([^/]+)', 1) else {own} end)"
+    )
+    out = corpus.select(
+        "url",
+        F.expr(f"cast(size({hrefs}) as bigint)").alias("n_links"),
+        F.expr(f"cast(size(array_distinct({hosts})) as bigint)").alias(
+            "n_hosts"
+        ),
+    ).select(
+        "url", "n_links", "n_hosts",
+        F.when(F.col("n_links") == 0, F.lit(0).cast("bigint")).otherwise(
+            F.floor(F.col("n_hosts") * 10000 / F.col("n_links"))
+            .cast("bigint")
+        ).alias("host_spread_bp"),
+    ).select(
+        "url", "n_links", "n_hosts", "host_spread_bp",
+        F.when(
+            (F.col("n_links") >= 50) & (F.col("host_spread_bp") >= 5000),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("is_spam"),
+    )
+    return out.orderBy("url")
+
+
+def _link_spam_sql() -> str:
+    head = _PAGE_HEAD.replace("'", "''")
+    foot = _PAGE_FOOT.replace("'", "''")
+    blob = _FARM_BLOB.replace("'", "''")
+    return f"""
+WITH pages AS (
+  SELECT 'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+         || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+         '{head}' || '<article><h1>Document ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p>' || text || '</p></article>' || '{foot}' AS html
+  FROM documents
+  UNION ALL
+  SELECT 'https://farm' || CAST(doc_id % 7 AS VARCHAR) || '.example/f/'
+         || CAST(doc_id AS VARCHAR) AS url,
+         '{head}' || '<article><p>' || '{blob}' || '</p></article>'
+         || '{foot}' AS html
+  FROM documents WHERE doc_id < 30
+), counted AS (
+  SELECT url,
+         CAST(len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS BIGINT)
+           AS n_links,
+         CAST(len(list_distinct(list_transform(
+             regexp_extract_all(html, 'href="([^"]*)"', 1),
+             h -> CASE WHEN h LIKE 'http%'
+                       THEN regexp_extract(h, '^https?://([^/]+)', 1)
+                       ELSE regexp_extract(url, '^https?://([^/]+)', 1)
+                  END))) AS BIGINT) AS n_hosts
+  FROM pages
+)
+SELECT url, n_links, n_hosts,
+       CASE WHEN n_links = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(n_hosts * 10000 / n_links) AS BIGINT)
+       END AS host_spread_bp,
+       CAST(CASE WHEN n_links >= 50
+                  AND floor(n_hosts * 10000 / n_links) >= 5000
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_spam
+FROM counted ORDER BY url
+"""
+
+
 def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Simpson character-concentration index
     (functions/text.py:char_diversity) — the mojibake/char-spam signal;
@@ -5378,6 +5488,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "ks_drift": q_ks_drift,
     "char_diversity": q_char_diversity,
+    "link_spam": q_link_spam,
     "latest_snapshot": q_latest_snapshot,
     "normalized_dedup": q_normalized_dedup,
     "soft404_filter": q_soft404_filter,
@@ -5479,6 +5590,7 @@ ORACLES = {
     "dsir_weights": DSIR_WEIGHTS_SQL,
     "ks_drift": KS_DRIFT_SQL,
     "char_diversity": CHAR_DIVERSITY_SQL,
+    "link_spam": _link_spam_sql(),
     "pmi_pairs": PMI_PAIRS_SQL,
     "leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "snapshot_diff": _snapshot_diff_sql(),

@@ -2983,3 +2983,28 @@ class TestCharDiversity:
         got = {r.doc_id: r.simpson for r in char_diversity(df).collect()}
         assert got[0] == 1.0
         assert got[1] < 0.12
+
+
+class TestLinkSpam:
+    """Outlink spam score (entry_queries.q_link_spam)."""
+
+    def test_farms_flagged_normal_pages_not(self, spark):
+        from ocrd_calamari_spark.entry_queries import q_link_spam
+
+        rows = q_link_spam(spark, "/root/testdata/sf0.001").collect()
+        farms = [r for r in rows if r.url.startswith("https://farm")]
+        normal = [r for r in rows if not r.url.startswith("https://farm")]
+        assert farms and normal
+        # farm: 10 boilerplate relative links + 200 distinct-host spam
+        assert all(r.n_links == 210 and r.n_hosts == 201 and r.is_spam == 1
+                   for r in farms)
+        # normal page: 10 relative links, all resolving to the own host
+        assert all(r.n_links == 10 and r.n_hosts == 1 and r.is_spam == 0
+                   for r in normal)
+
+    def test_spread_is_exact_integer_bp(self, spark):
+        from ocrd_calamari_spark.entry_queries import q_link_spam
+
+        rows = q_link_spam(spark, "/root/testdata/sf0.001").collect()
+        for r in rows:
+            assert r.host_spread_bp == (r.n_hosts * 10000) // r.n_links

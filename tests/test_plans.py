@@ -543,3 +543,14 @@ class TestRound4LateOpPlans:
         assert "partial_count" in plan
         assert "Join" not in plan
         assert "Python" not in plan
+
+    def test_link_spam_is_pure_map(self, spark):
+        """href extraction, host resolution, and per-row distinct-count
+        are array HOFs in one projection — no join, no aggregation; the
+        only exchange is the presentation orderBy."""
+        from ocrd_calamari_spark.entry_queries import q_link_spam
+
+        plan = plan_of(q_link_spam(spark, SF), "simple")
+        assert "HashAggregate" not in plan
+        assert "Join" not in plan
+        assert "Python" not in plan
