@@ -304,13 +304,20 @@ def main():
             return out, d[7] / max(sum(d), 1)
 
         suite, suite_steal = run_suite()
-        if suite_steal > 0.08:
-            # the whole loop ran under a host-steal burst: one retry,
-            # keep per-query minimums (steal only ever inflates timings)
+        # post-suite bus probe: a co-tenant bus burst long enough to
+        # inflate all TRIALS of one query (observed: jaccard_dedup 15.5 s
+        # in-suite vs 6.3 s re-measured, steal 0.0 the whole run) is
+        # invisible to steal — retry on the same membw criterion the
+        # extraction leg uses.  Keyed on host-state measurements, never
+        # on timing outcomes; per-query minimums kept (bursts only
+        # ever inflate).
+        suite_membw = membw_probe_gbps()
+        if suite_steal > 0.08 or suite_membw < 0.6 * best_membw:
             wait_for_quiet_box()
             suite2, steal2 = run_suite()
             suite = {k: min(suite[k], suite2[k]) for k in suite}
             suite_steal = min(suite_steal, steal2)
+            suite_membw = max(suite_membw, membw_probe_gbps())
         results.update(suite)
         spark.stop()
 
@@ -455,6 +462,7 @@ def main():
                        "host_steal": round(ext_steal, 3),
                        "membw_gbps": round(ext_membw, 2)},
         "suite_host_steal": round(suite_steal, 3),
+        "suite_membw_gbps": round(suite_membw, 2),
     }
     if scaling:
         out["scaling"] = scaling
