@@ -3727,6 +3727,70 @@ FROM counted ORDER BY url
 """
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap estimate (functions/sketch.py:kmv_overlap):
+    bottom-256 content hashes of crawl A (current documents) vs crawl B
+    (the deterministic prior-snapshot derivation snapshot_diff uses:
+    every 11th url not yet crawled, every 5th ≡ 1 an older revision, 40
+    since-deleted synthetic docs) — Jaccard + union-size estimates
+    without ever joining the corpora."""
+    from ocrd_calamari_spark.functions.sketch import kmv_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    cur = d.select("text")
+    prev = (
+        d.where(F.col("doc_id") % 11 != 0)
+        .select(
+            F.when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(F.col("text"), F.lit(" legacy-revision")),
+            ).otherwise(F.col("text")).alias("text")
+        )
+        .unionByName(
+            d.where(F.col("doc_id") < 40).select(
+                F.concat(F.col("text"), F.lit(" since-deleted")).alias(
+                    "text"
+                )
+            )
+        )
+    )
+    return kmv_overlap(cur, prev, "text", k=256)
+
+
+CORPUS_OVERLAP_SQL = """
+WITH a AS (
+  SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+         1 AS in_a, 0 AS in_b
+  FROM documents
+), b_src AS (
+  SELECT CASE WHEN doc_id % 5 = 1 THEN text || ' legacy-revision'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 11 != 0
+  UNION ALL
+  SELECT text || ' since-deleted' AS text
+  FROM documents WHERE doc_id < 40
+), b AS (
+  SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+         0 AS in_a, 1 AS in_b
+  FROM b_src
+), u AS (
+  SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+  GROUP BY h ORDER BY h LIMIT 256
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS shared,
+         MAX(h) AS hk
+  FROM u
+)
+SELECT k, shared,
+       CAST(floor(shared * 10000 / k) AS BIGINT) AS jaccard_bp,
+       CAST(floor((CAST(k - 1 AS DOUBLE) * 1152921504606846976e0)
+                  / CAST(hk AS DOUBLE)) AS BIGINT) AS union_est
+FROM s
+"""
+
+
 def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Simpson character-concentration index
     (functions/text.py:char_diversity) — the mojibake/char-spam signal;
@@ -5489,6 +5553,7 @@ QUERIES = {
     "ks_drift": q_ks_drift,
     "char_diversity": q_char_diversity,
     "link_spam": q_link_spam,
+    "corpus_overlap": q_corpus_overlap,
     "latest_snapshot": q_latest_snapshot,
     "normalized_dedup": q_normalized_dedup,
     "soft404_filter": q_soft404_filter,
@@ -5591,6 +5656,7 @@ ORACLES = {
     "ks_drift": KS_DRIFT_SQL,
     "char_diversity": CHAR_DIVERSITY_SQL,
     "link_spam": _link_spam_sql(),
+    "corpus_overlap": CORPUS_OVERLAP_SQL,
     "pmi_pairs": PMI_PAIRS_SQL,
     "leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "snapshot_diff": _snapshot_diff_sql(),

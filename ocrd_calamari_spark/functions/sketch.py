@@ -155,3 +155,64 @@ def frequent_items_exact(
         .agg(F.count("*").alias("n"))
     )
     return counts.where(F.col("n") >= F.lit(threshold))
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    k: int = 256,
+) -> DataFrame:
+    """One-row cross-corpus overlap estimate from bottom-k content hashes
+    — the pre-dedup planning measurement ("how much of crawl B is already
+    in crawl A?") that decides whether an incremental-dedup pass is worth
+    scheduling, WITHOUT joining the two corpora.
+
+    KMV set algebra (Beyer et al., deterministic — no RNG): the k
+    smallest distinct 60-bit content hashes of A ∪ B form a uniform
+    sample of the union's distinct values, so
+
+        jaccard_bp  = floor(10000 * |{h in bottom-k : h in A AND h in B}| / k)
+        union_est   = floor((k-1) * 2^60 / h_k)      (KMV distinct count)
+
+    Scale shape: each side reduces to (hash, flag) rows; the union
+    groups by hash with map-side combine (flags are two max() bits) and
+    the bottom-k cut plans as TakeOrderedAndProject — per-partition
+    top-k, a k-row merge, never a global sort; the corpora themselves
+    never join.  Estimate accuracy is pinned in pytest against the exact
+    Jaccard on the fixture (+/- the k^-1/2 band).
+
+    Columns: k (rows actually kept), shared, jaccard_bp, union_est —
+    all derived from exact integers (one IEEE division each for the two
+    estimates), hash-exact vs the same algebra in DuckDB.
+    """
+    from ocrd_calamari_spark.functions.dedup import PORTABLE_TOKEN_HASH_SQL
+
+    h = PORTABLE_TOKEN_HASH_SQL.format(t=text_col)
+    a = df_a.select(F.expr(h).alias("h"), F.lit(1).alias("in_a"),
+                    F.lit(0).alias("in_b"))
+    b = df_b.select(F.expr(h).alias("h"), F.lit(0).alias("in_a"),
+                    F.lit(1).alias("in_b"))
+    u = (
+        a.unionByName(b)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy("h")
+        .limit(int(k))
+    )
+    m = float(1 << 60)  # portable hash range: 15 hex chars
+    return u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("shared"),
+        F.max("h").alias("_hk"),
+    ).select(
+        "k",
+        "shared",
+        F.floor(F.col("shared") * 10000 / F.col("k")).cast("bigint").alias(
+            "jaccard_bp"
+        ),
+        F.floor(
+            ((F.col("k") - 1).cast("double") * F.lit(m))
+            / F.col("_hk").cast("double")
+        ).cast("bigint").alias("union_est"),
+    )

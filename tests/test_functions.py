@@ -3008,3 +3008,41 @@ class TestLinkSpam:
         rows = q_link_spam(spark, "/root/testdata/sf0.001").collect()
         for r in rows:
             assert r.host_spread_bp == (r.n_hosts * 10000) // r.n_links
+
+
+class TestKmvOverlap:
+    """Bottom-k cross-corpus overlap estimate (functions/sketch.py)."""
+
+    def test_estimates_track_exact_within_kmv_band(self, spark):
+        """Jaccard and union-size estimates must land within the ~k^-1/2
+        KMV error band of the exact values on a corpus with known
+        overlap (600 shared / 400+300 unique texts)."""
+        from ocrd_calamari_spark.functions.sketch import kmv_overlap
+
+        shared = [(f"shared document text number {i}",) for i in range(600)]
+        only_a = [(f"unique to corpus a text {i}",) for i in range(400)]
+        only_b = [(f"unique to corpus b text {i}",) for i in range(300)]
+        a = spark.createDataFrame(shared + only_a, ["text"])
+        b = spark.createDataFrame(shared + only_b, ["text"])
+        row = kmv_overlap(a, b, "text", k=256).collect()[0]
+        assert row.k == 256
+        exact_j = 600 / 1300
+        got_j = row.jaccard_bp / 10000
+        assert abs(got_j - exact_j) < 2.5 / (256 ** 0.5)  # ~0.16 band
+        assert abs(row.union_est - 1300) / 1300 < 2.5 / (256 ** 0.5)
+
+    def test_identical_corpora_read_as_full_overlap(self, spark):
+        from ocrd_calamari_spark.functions.sketch import kmv_overlap
+
+        a = spark.createDataFrame(
+            [(f"doc {i}",) for i in range(500)], ["text"])
+        row = kmv_overlap(a, a, "text", k=128).collect()[0]
+        assert row.jaccard_bp == 10000 and row.shared == row.k == 128
+
+    def test_disjoint_corpora_read_as_zero(self, spark):
+        from ocrd_calamari_spark.functions.sketch import kmv_overlap
+
+        a = spark.createDataFrame([(f"a {i}",) for i in range(200)], ["text"])
+        b = spark.createDataFrame([(f"b {i}",) for i in range(200)], ["text"])
+        row = kmv_overlap(a, b, "text", k=128).collect()[0]
+        assert row.jaccard_bp == 0 and row.shared == 0

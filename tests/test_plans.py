@@ -554,3 +554,14 @@ class TestRound4LateOpPlans:
         assert "HashAggregate" not in plan
         assert "Join" not in plan
         assert "Python" not in plan
+
+    def test_kmv_overlap_bottom_k_is_take_ordered(self, spark):
+        """The bottom-k union cut must plan as TakeOrdered (per-partition
+        top-k + k-row merge) over hash-flag rows — the corpora never
+        join and never globally sort; all-JVM."""
+        from ocrd_calamari_spark.entry_queries import q_corpus_overlap
+
+        plan = plan_of(q_corpus_overlap(spark, SF), "simple")
+        assert "TakeOrdered" in plan
+        assert "Join" not in plan
+        assert "Python" not in plan
