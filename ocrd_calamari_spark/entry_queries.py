@@ -4057,6 +4057,49 @@ FROM (
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (functions/text.py:
+    winnow_selections — the MOSS algorithm): rightmost-min pick per
+    4-window over 5-gram rolling hashes, deduplicated — the
+    guaranteed-detection (runs >= 8 tokens), bounded-density (~2/5)
+    fingerprint INDEX; pure JVM map, text never shuffles."""
+    from ocrd_calamari_spark.functions.text import winnow_selections
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_selections(d, "doc_id", "text", kgram=5,
+                             window=4).orderBy("doc_id", "pos")
+
+
+WINNOW_FP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tokens
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(array_to_string(tokens[i:i+4], ' ')), 1, 15))::BIGINT
+          for i in range(1, greatest(len(tokens) - 4, 1) + 1)] AS fps
+  FROM t
+), h AS (
+  SELECT doc_id, generate_subscripts(fps, 1) AS p, unnest(fps) AS v FROM f
+), starts AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(fps) - 3, 1))) AS i
+  FROM f
+), wmin AS (
+  SELECT s.doc_id, s.i, MIN(h.v) AS mv
+  FROM starts s JOIN h ON h.doc_id = s.doc_id
+                      AND h.p BETWEEN s.i AND s.i + 3
+  GROUP BY 1, 2
+), pick AS (
+  SELECT w.doc_id, MAX(h.p) AS pos, w.mv AS fp
+  FROM wmin w JOIN h ON h.doc_id = w.doc_id
+                    AND h.p BETWEEN w.i AND w.i + 3 AND h.v = w.mv
+  GROUP BY w.doc_id, w.i, w.mv
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+FROM pick ORDER BY doc_id, pos
+"""
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-SPAN detection — the window-fingerprint
     approximation of suffix-array substring dedup (flag documents whose
@@ -5554,6 +5597,7 @@ QUERIES = {
     "char_diversity": q_char_diversity,
     "link_spam": q_link_spam,
     "corpus_overlap": q_corpus_overlap,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "latest_snapshot": q_latest_snapshot,
     "normalized_dedup": q_normalized_dedup,
     "soft404_filter": q_soft404_filter,
@@ -5657,6 +5701,7 @@ ORACLES = {
     "char_diversity": CHAR_DIVERSITY_SQL,
     "link_spam": _link_spam_sql(),
     "corpus_overlap": CORPUS_OVERLAP_SQL,
+    "winnow_fingerprints": WINNOW_FP_SQL,
     "pmi_pairs": PMI_PAIRS_SQL,
     "leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "snapshot_diff": _snapshot_diff_sql(),

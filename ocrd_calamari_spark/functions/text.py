@@ -1293,3 +1293,59 @@ def char_diversity(
             ).alias("simpson"),
         )
     )
+
+
+def winnow_selections(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram: int = 5,
+    window: int = 4,
+    token_hash: str | None = None,
+) -> DataFrame:
+    """(id, pos, fp) — winnowing fingerprint selection (Schleimer et al.,
+    SIGMOD 2003 — the MOSS algorithm; public method) over the rolling
+    k-gram hashes `rolling_fingerprints` emits.
+
+    Winnowing picks, from every window of ``window`` consecutive k-gram
+    hashes, the RIGHTMOST minimum, then drops duplicate picks — giving
+    the two guarantees raw rolling hashes lack: any shared run of at
+    least kgram + window - 1 tokens is always detected (at least one
+    shared fingerprint survives selection on both sides), and expected
+    density is 2/(window+1) — the fingerprint INDEX is ~3x smaller than
+    the full hash stream at window=4, bounded by construction.  This is
+    the standard index layout for cross-corpus near-match lookup where
+    `span_dedup`'s every-window hashing would over-index.
+
+    All per-document work is one JVM projection (array HOFs: the
+    rightmost-min scan is a fold per window, O(window) each); the output
+    explodes to compact (id, pos, fp) rows — text never shuffles, and
+    the selection is a pure function of the text (deterministic under
+    retries / resume / growth, SURVEY.md §7.3).
+    """
+    from ocrd_calamari_spark.functions.dedup import PORTABLE_TOKEN_HASH_SQL
+
+    th = token_hash or PORTABLE_TOKEN_HASH_SQL
+    w = int(window)
+    fps = rolling_fingerprints(text_col, window=int(kgram), token_hash=th)
+    out = df.select(F.col(id_col), fps.alias("_fps"))
+    sel = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size(_fps) - {w} + 1, 1)),"
+        f"  i -> aggregate("
+        f"    sequence(i, least(i + {w} - 1, size(_fps))),"
+        f"    named_struct('fp', cast(null as bigint),"
+        f"                 'pos', cast(null as int)),"
+        f"    (acc, p) -> if(acc.fp is null or element_at(_fps, p) <= acc.fp,"
+        f"                   named_struct('fp', element_at(_fps, p),"
+        f"                                'pos', cast(p as int)),"
+        f"                   acc))))"
+    )
+    return (
+        out.select(F.col(id_col), F.explode(sel).alias("_s"))
+        .select(
+            id_col,
+            F.col("_s.pos").cast("bigint").alias("pos"),
+            F.col("_s.fp").alias("fp"),
+        )
+    )

@@ -3046,3 +3046,65 @@ class TestKmvOverlap:
         b = spark.createDataFrame([(f"b {i}",) for i in range(200)], ["text"])
         row = kmv_overlap(a, b, "text", k=128).collect()[0]
         assert row.jaccard_bp == 0 and row.shared == 0
+
+
+class TestWinnowSelections:
+    """Winnowing fingerprint selection (functions/text.py)."""
+
+    @staticmethod
+    def _ref(text, kgram=5, window=4):
+        """Pure-python winnowing over the same portable hashes."""
+        import hashlib, re
+
+        toks = re.split(r"\s+", text.strip())
+        m = max(len(toks) - kgram + 1, 1)
+        fps = [
+            int(hashlib.md5(" ".join(toks[i:i + kgram]).encode())
+                .hexdigest()[:15], 16)
+            for i in range(m)
+        ]
+        picks = set()
+        for i in range(max(len(fps) - window + 1, 1)):
+            win = fps[i:i + window]
+            mv = min(win)
+            pos = i + max(j for j, v in enumerate(win) if v == mv)
+            picks.add((pos + 1, mv))  # 1-based positions
+        return picks
+
+    def test_matches_python_reference_exactly(self, spark):
+        from ocrd_calamari_spark.functions.text import winnow_selections
+
+        docs = [
+            (0, "the quick brown fox jumps over the lazy dog again and "
+                "again until the quick brown fox tires out completely"),
+            (1, "short doc"),
+            (2, "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        rows = winnow_selections(df, "doc_id", "text", kgram=5,
+                                 window=4).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+        for i, t in docs:
+            assert got[i] == self._ref(t), i
+
+    def test_shared_run_guarantee_and_density(self, spark):
+        """Any shared token run >= kgram+window-1 must leave at least one
+        COMMON fingerprint in both docs' selections (the winnowing
+        guarantee), and selections stay well under the full hash count."""
+        from ocrd_calamari_spark.functions.text import winnow_selections
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        a = "one two three " + shared + " four five six seven eight nine"
+        b = "red green blue yellow " + shared + " purple orange pink cyan"
+        df = spark.createDataFrame([(0, a), (1, b)], ["doc_id", "text"])
+        rows = winnow_selections(df, "doc_id", "text", kgram=5,
+                                 window=4).collect()
+        sel = {0: set(), 1: set()}
+        for r in rows:
+            sel[r.doc_id].add(r.fp)
+        assert sel[0] & sel[1], "shared 8-token run left no common fp"
+        # density: at window=4 expected ~2/5 of hashes; assert < 0.75
+        n_toks = len(a.split())
+        assert len(sel[0]) < 0.75 * (n_toks - 4)

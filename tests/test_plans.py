@@ -565,3 +565,14 @@ class TestRound4LateOpPlans:
         assert "TakeOrdered" in plan
         assert "Join" not in plan
         assert "Python" not in plan
+
+    def test_winnow_selection_is_pure_map(self, spark):
+        """Hashing, per-window rightmost-min folds, and dedup are one JVM
+        projection + explode — no join, no aggregation, no Python; the
+        only exchange is the presentation orderBy."""
+        from ocrd_calamari_spark.entry_queries import q_winnow_fingerprints
+
+        plan = plan_of(q_winnow_fingerprints(spark, SF), "simple")
+        assert "HashAggregate" not in plan
+        assert "Join" not in plan
+        assert "Python" not in plan
