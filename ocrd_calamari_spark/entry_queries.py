@@ -3727,6 +3727,96 @@ FROM counted ORDER BY url
 """
 
 
+def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection by URL-template mining — the frontier-ops
+    check that stops a crawler drowning in calendar pages / session-id
+    urls / infinite pagination: collapse digit runs to 'N'
+    (template = regexp_replace(url, '[0-9]+', 'N')), count urls per
+    (host, template), and flag templates that both dominate their host
+    (>= 80 % of its urls) and are large in absolute terms (>= 50 urls).
+    Corpus = the synthesized page urls plus an injected one-template
+    pagination trap host (the link_spam injection discipline).
+
+    Exact outputs (n_urls, share_bp, is_trap) — all integers.  Scale
+    shape: template extraction is a pure map; the (host, template)
+    count partial-aggregates map-side; per-host totals are a
+    host-cardinality aggregate joined back (AQE-broadcast at dimension
+    size); urls themselves shuffle once as compact template rows."""
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("https://host"),
+            F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    ).unionByName(
+        d.select(
+            F.concat(
+                F.lit("https://trap0.example/cal?page="),
+                F.col("doc_id").cast("string"),
+            ).alias("url")
+        )
+    )
+    t = urls.select(
+        F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1).alias(
+            "host"
+        ),
+        F.regexp_replace(F.col("url"), "[0-9]+", "N").alias("template"),
+    )
+    per_t = t.groupBy("host", "template").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls")
+    )
+    per_h = per_t.groupBy("host").agg(
+        F.sum("n_urls").cast("bigint").alias("_host_urls")
+    )
+    out = (
+        per_t.join(per_h, "host")
+        .select(
+            "host", "template", "n_urls",
+            F.floor(F.col("n_urls") * 10000 / F.col("_host_urls"))
+            .cast("bigint").alias("share_bp"),
+        )
+        .select(
+            "host", "template", "n_urls", "share_bp",
+            F.when(
+                (F.col("n_urls") >= 50) & (F.col("share_bp") >= 8000),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("int").alias("is_trap"),
+        )
+    )
+    return out.orderBy("host", "template")
+
+
+URL_TRAPS_SQL = """
+WITH urls AS (
+  SELECT 'https://host' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+         || '.example/d/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+  UNION ALL
+  SELECT 'https://trap0.example/cal?page=' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), t AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_replace(url, '[0-9]+', 'N', 'g') AS template
+  FROM urls
+), per_t AS (
+  SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM t GROUP BY 1, 2
+), per_h AS (
+  SELECT host, CAST(SUM(n_urls) AS BIGINT) AS host_urls
+  FROM per_t GROUP BY host
+)
+SELECT p.host, p.template, p.n_urls,
+       CAST(floor(p.n_urls * 10000 / h.host_urls) AS BIGINT) AS share_bp,
+       CAST(CASE WHEN p.n_urls >= 50
+                  AND floor(p.n_urls * 10000 / h.host_urls) >= 8000
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_trap
+FROM per_t p JOIN per_h h USING (host)
+ORDER BY host, template
+"""
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus overlap estimate (functions/sketch.py:kmv_overlap):
     bottom-256 content hashes of crawl A (current documents) vs crawl B
@@ -5598,6 +5688,7 @@ QUERIES = {
     "link_spam": q_link_spam,
     "corpus_overlap": q_corpus_overlap,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "url_traps": q_url_traps,
     "latest_snapshot": q_latest_snapshot,
     "normalized_dedup": q_normalized_dedup,
     "soft404_filter": q_soft404_filter,
@@ -5702,6 +5793,7 @@ ORACLES = {
     "link_spam": _link_spam_sql(),
     "corpus_overlap": CORPUS_OVERLAP_SQL,
     "winnow_fingerprints": WINNOW_FP_SQL,
+    "url_traps": URL_TRAPS_SQL,
     "pmi_pairs": PMI_PAIRS_SQL,
     "leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "snapshot_diff": _snapshot_diff_sql(),

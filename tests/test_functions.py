@@ -3108,3 +3108,28 @@ class TestWinnowSelections:
         # density: at window=4 expected ~2/5 of hashes; assert < 0.75
         n_toks = len(a.split())
         assert len(sel[0]) < 0.75 * (n_toks - 4)
+
+
+class TestUrlTraps:
+    """Crawl-trap template mining (entry_queries.q_url_traps)."""
+
+    def test_trap_host_flagged_regular_hosts_not(self, spark):
+        from ocrd_calamari_spark.entry_queries import q_url_traps
+
+        rows = q_url_traps(spark, "/root/testdata/sf0.001").collect()
+        traps = [r for r in rows if r.host == "trap0.example"]
+        rest = [r for r in rows if r.host != "trap0.example"]
+        assert len(traps) == 1
+        assert traps[0].template == "https://trapN.example/cal?page=N"
+        assert traps[0].share_bp == 10000 and traps[0].is_trap == 1
+        # every regular host's single template holds 100 % of its urls
+        # but stays below the absolute-size bar at sf0.001 (500/40 urls)
+        assert rest and all(r.is_trap == 0 for r in rest)
+        assert all(r.share_bp == 10000 for r in rest)
+
+    def test_templates_collapse_digit_runs(self, spark):
+        from ocrd_calamari_spark.entry_queries import q_url_traps
+
+        rows = q_url_traps(spark, "/root/testdata/sf0.001").collect()
+        assert all("N" in r.template and not any(c.isdigit() for c in
+                   r.template.replace("N", "")) for r in rows)

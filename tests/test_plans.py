@@ -576,3 +576,14 @@ class TestRound4LateOpPlans:
         assert "HashAggregate" not in plan
         assert "Join" not in plan
         assert "Python" not in plan
+
+    def test_url_traps_partial_aggs_and_no_cartesian(self, spark):
+        """Template counting must partial-aggregate map-side (shuffle =
+        host x template cardinality); the host-totals join back is an
+        equi join, never cartesian; all-JVM."""
+        from ocrd_calamari_spark.entry_queries import q_url_traps
+
+        plan = plan_of(q_url_traps(spark, SF), "simple")
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
