@@ -3727,6 +3727,65 @@ FROM counted ORDER BY url
 """
 
 
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise QA: per-source disagreement between the DECLARED lang
+    column and the content-based lang-ID heuristic — the measurement
+    that decides whether a source's metadata can be trusted for
+    lang-keyed mixing/filtering (scored only over langs the heuristic
+    knows, en/de/fr, so the rate is a true disagreement rate, not an
+    out-of-scope artifact).  All counts exact integers; the shared
+    lang_id SQL subset keeps the oracle hash-exact.  Scale shape: one
+    corpus scan, map-side partial agg onto source cardinality."""
+    from ocrd_calamari_spark.functions.text import lang_id_sql
+
+    d = _t(spark, sf_dir, "documents")
+    pred = F.expr(lang_id_sql("text"))
+    scored = F.col("lang").isin("en", "de", "fr")
+    mism = scored & (pred != F.col("lang"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(scored.cast("int")).cast("bigint").alias("n_scored"),
+            F.sum(mism.cast("int")).cast("bigint").alias("n_mismatch"),
+        )
+        .select(
+            "source", "n_docs", "n_scored", "n_mismatch",
+            # a source with ZERO scorable docs must not kill the job
+            # (ANSI mode raises on /0 — the abs(hash) lesson class);
+            # bp = 0 with n_scored = 0 meaning "no evidence"
+            F.when(F.col("n_scored") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.floor(F.col("n_mismatch") * 10000 / F.col("n_scored"))
+                .cast("bigint")
+            ).alias("mismatch_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _lang_mismatch_sql() -> str:
+    from ocrd_calamari_spark.functions.text import lang_id_sql
+
+    pred = lang_id_sql("text")
+    return f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN lang IN ('en', 'de', 'fr') THEN 1 ELSE 0 END AS scored,
+         CASE WHEN lang IN ('en', 'de', 'fr')
+               AND ({pred}) != lang THEN 1 ELSE 0 END AS mism
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(scored) AS BIGINT) AS n_scored,
+       CAST(SUM(mism) AS BIGINT) AS n_mismatch,
+       CAST(CASE WHEN SUM(scored) = 0 THEN 0
+                 ELSE floor(SUM(mism) * 10000 / SUM(scored))
+            END AS BIGINT) AS mismatch_bp
+FROM s GROUP BY source ORDER BY source
+"""
+
+
 def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-trap detection by URL-template mining — the frontier-ops
     check that stops a crawler drowning in calendar pages / session-id
@@ -5689,6 +5748,7 @@ QUERIES = {
     "corpus_overlap": q_corpus_overlap,
     "winnow_fingerprints": q_winnow_fingerprints,
     "url_traps": q_url_traps,
+    "lang_mismatch": q_lang_mismatch,
     "latest_snapshot": q_latest_snapshot,
     "normalized_dedup": q_normalized_dedup,
     "soft404_filter": q_soft404_filter,
@@ -5794,6 +5854,7 @@ ORACLES = {
     "corpus_overlap": CORPUS_OVERLAP_SQL,
     "winnow_fingerprints": WINNOW_FP_SQL,
     "url_traps": URL_TRAPS_SQL,
+    "lang_mismatch": _lang_mismatch_sql(),
     "pmi_pairs": PMI_PAIRS_SQL,
     "leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "snapshot_diff": _snapshot_diff_sql(),

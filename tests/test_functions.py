@@ -3133,3 +3133,34 @@ class TestUrlTraps:
         rows = q_url_traps(spark, "/root/testdata/sf0.001").collect()
         assert all("N" in r.template and not any(c.isdigit() for c in
                    r.template.replace("N", "")) for r in rows)
+
+
+class TestLangMismatch:
+    """Declared-vs-detected language QA (entry_queries.q_lang_mismatch)."""
+
+    def test_controlled_fixture_counts(self, spark, tmp_path):
+        from ocrd_calamari_spark.entry_queries import q_lang_mismatch
+
+        en = "the cat and the dog is in the house of the king and it is"
+        fr = "le chat est dans le jardin et les fleurs des champs est le roi"
+        rows = (
+            [(i, en, "en", "clean", len(en)) for i in range(10)]
+            + [(100 + i, fr, "en", "noisy", len(fr)) for i in range(5)]
+            + [(200 + i, en, "zh", "unscored", len(en)) for i in range(3)]
+        )
+        df = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"])
+        df.write.parquet(str(tmp_path / "documents.parquet"))
+        got = {r.source: (r.n_docs, r.n_scored, r.n_mismatch, r.mismatch_bp)
+               for r in q_lang_mismatch(spark, str(tmp_path)).collect()}
+        assert got["clean"] == (10, 10, 0, 0)
+        assert got["noisy"] == (5, 5, 5, 10000)
+        # zh is outside the heuristic's scope: counted, never scored
+        assert got["unscored"] == (3, 0, 0, 0)
+
+    def test_arithmetic_invariants_on_fixture(self, spark):
+        from ocrd_calamari_spark.entry_queries import q_lang_mismatch
+
+        for r in q_lang_mismatch(spark, "/root/testdata/sf0.001").collect():
+            assert 0 <= r.n_mismatch <= r.n_scored <= r.n_docs
+            assert r.mismatch_bp == (r.n_mismatch * 10000) // r.n_scored
