@@ -4103,6 +4103,110 @@ ORDER BY doc_id
 """
 
 
+def q_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-adjusted corpus token accounting — the number a data-budget
+    (scaling-law) plan actually gets to spend: near-dup clusters (exact
+    Jaccard 0.5 / trigrams → connected components, the leakage_safe_split
+    relation) contribute only their representative's tokens.  One row:
+    raw vs effective docs/tokens and the duplicated-token share in basis
+    points.  Scale: one (doc, component) join + a component-cardinality
+    keeper agg on top of the dedup pass the pipeline already runs; token
+    counts ride the shared SQL subset so the row is hash-exact."""
+    from ocrd_calamari_spark.functions.dedup import (
+        connected_components, jaccard_index_dedup)
+    from ocrd_calamari_spark.functions.text import token_count_sql
+
+    corpus = _with_injected_dups(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id",
+        F.expr(f"cast({token_count_sql('text')} as bigint)").alias("nt"),
+    )
+    pairs = jaccard_index_dedup(corpus, threshold=0.5, shingle_k=3)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    assigned = toks.join(comp, "doc_id", "left").select(
+        "doc_id", "nt",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    keepers = assigned.groupBy("component").agg(
+        F.min("doc_id").alias("_keeper")
+    )
+    kept = F.col("doc_id") == F.col("_keeper")
+    return (
+        assigned.join(keepers, "component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("raw_docs"),
+            F.sum("nt").cast("bigint").alias("raw_tokens"),
+            F.sum(kept.cast("int")).cast("bigint").alias("kept_docs"),
+            F.sum(F.when(kept, F.col("nt")).otherwise(F.lit(0)))
+            .cast("bigint").alias("effective_tokens"),
+        )
+        .select(
+            "raw_docs", "raw_tokens", "kept_docs", "effective_tokens",
+            F.floor(
+                (F.col("raw_tokens") - F.col("effective_tokens")) * 10000
+                / F.col("raw_tokens")
+            ).cast("bigint").alias("dup_token_bp"),
+        )
+    )
+
+
+EFFECTIVE_TOKENS_SQL = r"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+  FROM documents WHERE doc_id < 40
+), toks AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS nt
+  FROM corpus
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tokens[i:i+2], ' ')
+                        for i in range(1, greatest(len(tokens)-2, 1)+1)]) AS s
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM corpus)
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1e0
+          / len(list_distinct(list_concat(a.s, b.s))) >= 5e-1
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b, id_a FROM p
+), nodes AS (
+  SELECT DISTINCT a AS v FROM edges
+), reach(v, lbl) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.v
+), comp AS (
+  SELECT v AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+  FROM reach GROUP BY v
+), assigned AS (
+  SELECT t.doc_id, t.nt, COALESCE(k.component, t.doc_id) AS component
+  FROM toks t LEFT JOIN comp k USING (doc_id)
+), keepers AS (
+  SELECT component, MIN(doc_id) AS keeper FROM assigned GROUP BY component
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS raw_docs,
+         CAST(SUM(nt) AS BIGINT) AS raw_tokens,
+         CAST(SUM(CASE WHEN a.doc_id = k.keeper THEN 1 ELSE 0 END)
+              AS BIGINT) AS kept_docs,
+         CAST(SUM(CASE WHEN a.doc_id = k.keeper THEN nt ELSE 0 END)
+              AS BIGINT) AS effective_tokens
+  FROM assigned a JOIN keepers k USING (component)
+)
+SELECT raw_docs, raw_tokens, kept_docs, effective_tokens,
+       CAST(floor((raw_tokens - effective_tokens) * 10000 / raw_tokens)
+            AS BIGINT) AS dup_token_bp
+FROM agg
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: classify every url as added /
     removed / changed / unchanged between the previous crawl and the
@@ -5749,6 +5853,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "url_traps": q_url_traps,
     "lang_mismatch": q_lang_mismatch,
+    "effective_tokens": q_effective_tokens,
     "latest_snapshot": q_latest_snapshot,
     "normalized_dedup": q_normalized_dedup,
     "soft404_filter": q_soft404_filter,
@@ -5855,6 +5960,7 @@ ORACLES = {
     "winnow_fingerprints": WINNOW_FP_SQL,
     "url_traps": URL_TRAPS_SQL,
     "lang_mismatch": _lang_mismatch_sql(),
+    "effective_tokens": EFFECTIVE_TOKENS_SQL,
     "pmi_pairs": PMI_PAIRS_SQL,
     "leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "snapshot_diff": _snapshot_diff_sql(),

@@ -3164,3 +3164,32 @@ class TestLangMismatch:
         for r in q_lang_mismatch(spark, "/root/testdata/sf0.001").collect():
             assert 0 <= r.n_mismatch <= r.n_scored <= r.n_docs
             assert r.mismatch_bp == (r.n_mismatch * 10000) // r.n_scored
+
+
+class TestEffectiveTokens:
+    """Dedup-adjusted token accounting (entry_queries.q_effective_tokens)."""
+
+    def test_injected_dups_are_discounted_exactly(self, spark):
+        from ocrd_calamari_spark.entry_queries import q_effective_tokens
+
+        r = q_effective_tokens(spark, "/root/testdata/sf0.001").collect()[0]
+        import duckdb
+        base = duckdb.sql(
+            "SELECT CAST(COUNT(*) AS BIGINT),"
+            " CAST(SUM(length(text) - length(replace(text,' ','')) + 1)"
+            " AS BIGINT)"
+            " FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchone()
+        n_docs, n_tokens = base
+        # corpus = documents + 40 injected tail-extended dups; the base
+        # corpus ALSO carries organic near-dups at this threshold, so the
+        # injected 40 are an upper bound on kept docs, not an identity
+        # (exactness itself is certified by the hash-exact recursive-CTE
+        # oracle)
+        assert r.raw_docs == n_docs + 40
+        assert r.kept_docs <= n_docs  # every injected dup joins its original
+        assert r.kept_docs >= n_docs - 100  # organic dups stay a minority
+        assert r.effective_tokens <= n_tokens
+        assert r.raw_tokens > r.effective_tokens
+        assert r.dup_token_bp == ((r.raw_tokens - r.effective_tokens)
+                                  * 10000) // r.raw_tokens
