@@ -68,3 +68,42 @@ def test_oracle_parity_fast_subset(spark, entrymod, duck, name):
     assert len(sdf) == len(odf)
     a, b = normalize(sdf), normalize(odf)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_rotation_front_loads_unproven_keys(entrymod, tmp_path):
+    """queries() ordering is the mechanical rotation: never-checked /
+    changed-since-green / previously-failed keys sort into the driver's
+    ~50-entry sample window ahead of recently-green ones."""
+    import json
+
+    from ocrd_calamari_spark.rotation import rotated_order
+
+    keys = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+
+    # live ordering: every key the evidence files have never certified
+    # must sit inside the first-50 window (there are < 50 of them today;
+    # if the registry outgrows that, the assert flags the overflow)
+    from ocrd_calamari_spark.rotation import load_evidence
+
+    last = load_evidence(entrymod._REPO_DIR)
+    never = [k for k in keys if k not in last]
+    assert all(keys.index(k) < 50 for k in never), never
+
+    # synthetic evidence: a failed row re-fronts; green rows demote by age
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a_old_green": {"err": None},
+        "c_failed": {"err": "boom"},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "b_new_green": {"err": None},
+        "d_rows_only": {"err": "no_oracle"},
+    }))
+    order = rotated_order(
+        ["a_old_green", "b_new_green", "c_failed", "d_rows_only", "e_never"],
+        {"a_old_green", "b_new_green", "c_failed", "e_never"},
+        str(tmp_path),
+        forced_front=(),
+    )
+    assert order == ["c_failed", "e_never", "a_old_green", "b_new_green",
+                     "d_rows_only"]
