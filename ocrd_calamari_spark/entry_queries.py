@@ -5732,6 +5732,70 @@ GROUP BY doc_id ORDER BY doc_id
 BPE_ENCODE_SQL = _bpe_encode_sql(8)
 
 
+# An EXTERNAL tokenizer's merge list (order matters — it is the trained
+# artifact).  The production shape SCALE.md prescribes: a frozen
+# tokenizer prices a NEW corpus in one pass, no retraining — this
+# fixture stands in for e.g. a GPT-2/Llama merge table shipped as a
+# file.  Alphabetic ASCII only, matching the encode-side token filter.
+FROZEN_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("e", "n"), ("o", "u"),
+]
+
+
+def q_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-tokenizer corpus pricing: apply an EXTERNAL merge list
+    (FROZEN_MERGES — no training stage at all) and report per-doc
+    subword counts (functions/text.py:bpe_encode_counts).  Scale shape:
+    identical to bpe_encode minus the train scans — merges are literal
+    replaces over the DISTINCT-word table, the corpus joins the
+    (word → n_subwords) map (broadcast under the size switch, shuffled
+    equi-join above it), ZERO driver-side merge collect."""
+    from ocrd_calamari_spark.functions.text import bpe_encode_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode_counts(docs, FROZEN_MERGES).orderBy("doc_id")
+
+
+def _bpe_encode_frozen_sql(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of the frozen-merge encode: the same nested literal
+    replace chain over the distinct-word table, then the doc join."""
+    S = "chr(31)"
+    expr = "s"
+    for lhs, rhs in merges:
+        pat = f"{S}||'{lhs}'||{S}||{S}||'{rhs}'||{S}"
+        rep = f"{S}||'{lhs}{rhs}'||{S}"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""WITH vocab AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[\\x20-\\x7e]+$')
+), enc AS (
+  SELECT w, CAST(len(string_split(trim({expr}, {S}), {S}||{S}))
+                 AS BIGINT) AS n_sub
+  FROM (
+    SELECT w, {S} || array_to_string(regexp_split_to_array(w, ''),
+                                     {S}||{S}) || {S} AS s
+    FROM vocab
+  )
+), docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[\\x20-\\x7e]+$')
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords
+FROM docw JOIN enc USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+BPE_ENCODE_FROZEN_SQL = _bpe_encode_frozen_sql(FROZEN_MERGES)
+
+
 def q_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-k uniform sample: the 64 docs with the lowest
     seeded portable hash — the eval-set carve (`weighted_sample` /
@@ -5861,6 +5925,7 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "paragraph_dedup": q_paragraph_dedup,
     "bpe_encode": q_bpe_encode,
+    "bpe_encode_frozen": q_bpe_encode_frozen,
     "exact_sample": q_exact_sample,
     "chunk_documents": q_chunk_documents,
     "rolling_fingerprints": q_rolling_fingerprints,
@@ -5936,6 +6001,7 @@ ORACLES = {
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "bpe_encode": BPE_ENCODE_SQL,
+    "bpe_encode_frozen": BPE_ENCODE_FROZEN_SQL,
     "exact_sample": EXACT_SAMPLE_SQL,
     "extract_golden_diff": GOLDEN_DIFF_SQL,
     "bpe_pair_counts": BPE_PAIR_SQL,

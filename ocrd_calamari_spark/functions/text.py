@@ -1113,17 +1113,32 @@ def dedup_paragraphs_global(df, id_col: str = "doc_id",
     )
 
 
-def bpe_encode_counts(df, merges, text_col: str = "text") -> "DataFrame":
+def bpe_encode_counts(df, merges, text_col: str = "text",
+                      broadcast_vocab_max: int | None = 1_000_000,
+                      ) -> "DataFrame":
     """Apply a trained BPE merge table and count per-doc subwords — the
     token-budget accounting step after ``bpe_train_merges``.
 
-    ``merges`` is the ordered [(lhs, rhs), ...] list from training.  The
-    merge chain applies to the DISTINCT-word table only (vocab-sized),
-    as one nested stack of literal ``replace`` expressions — whole-stage
-    codegen, zero per-corpus-token work; each document's words then join
-    the (word → n_subwords) map (vocab side broadcasts) and aggregate.
-    Same separator-wrapped representation and left-to-right non-overlap
-    replace semantics as training, so the DuckDB twin is byte-identical.
+    ``merges`` is the ordered [(lhs, rhs), ...] list from training (or a
+    FROZEN external tokenizer's merge list — the production shape: price
+    a new corpus in one pass without retraining).  The merge chain
+    applies to the DISTINCT-word table only (vocab-sized), as one nested
+    stack of literal ``replace`` expressions — whole-stage codegen, zero
+    per-corpus-token work; each document's words then join the
+    (word → n_subwords) map and aggregate.  Same separator-wrapped
+    representation and left-to-right non-overlap replace semantics as
+    training, so the DuckDB twin is byte-identical.
+
+    The vocab side broadcasts ONLY while it fits: a clean web corpus's
+    distinct-word table is ~10 MB/10^6 words, but a 100 TB crawl's is
+    10^8-10^9 rows of typo/hash junk — broadcasting that OOMs the
+    driver.  The encoded vocab is persisted and counted (one extra
+    vocab-sized action; the cache repays it in the join), and the
+    broadcast hint is dropped above ``broadcast_vocab_max`` rows in
+    favor of a plain shuffled equi-join (both sides hash on ``w``).
+    Pass ``broadcast_vocab_max=None`` to skip the count and always
+    broadcast (small fixed vocab known a priori), or ``0`` to always
+    shuffle.
 
     Returns (doc_id, n_words, n_subwords); docs with zero ASCII words
     drop (inner join), mirroring the training-side token filter.
@@ -1154,8 +1169,14 @@ def bpe_encode_counts(df, merges, text_col: str = "text") -> "DataFrame":
         .cast("bigint")
         .alias("n_sub"),
     )
+    if broadcast_vocab_max is None:
+        enc = F.broadcast(enc)
+    else:
+        enc = enc.persist()
+        if enc.count() <= broadcast_vocab_max:
+            enc = F.broadcast(enc)
     return (
-        docw.join(F.broadcast(enc), "w")
+        docw.join(enc, "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),

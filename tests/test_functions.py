@@ -2804,6 +2804,82 @@ class TestBpeEncodeCounts:
         }
         assert got == want
 
+    def test_vocab_size_switch_drops_broadcast(self, spark):
+        """Above broadcast_vocab_max the vocab map must join as a plain
+        shuffled equi-join (a 100 TB crawl's distinct-word table OOMs
+        the driver as a broadcast) — with identical results."""
+        from ocrd_calamari_spark.functions.text import bpe_encode_counts
+
+        rows = [(1, "the other brother"), (2, "another the and era")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        merges = [("t", "h"), ("th", "e"), ("e", "r")]
+
+        import contextlib
+        import io
+
+        def plan_of(d):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                d.explain("simple")
+            return buf.getvalue()
+
+        small = bpe_encode_counts(df, merges)  # vocab << default max
+        assert "BroadcastHashJoin" in plan_of(small)
+        # with the hint dropped, Catalyst's size-based threshold decides
+        # (the correct scale behavior: a 100 TB vocab's stats exceed it);
+        # simulate "too big" by disabling the threshold for this plan
+        thresholds = ("spark.sql.autoBroadcastJoinThreshold",
+                      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        saved = {k: spark.conf.get(k, None) for k in thresholds}
+        try:
+            for k in thresholds:
+                spark.conf.set(k, "-1")
+            big = bpe_encode_counts(df, merges, broadcast_vocab_max=0)
+            assert "BroadcastHashJoin" not in plan_of(big)
+            as_dict = lambda d: {r.doc_id: (r.n_words, r.n_subwords)  # noqa: E731
+                                 for r in d.collect()}
+            assert as_dict(small) == as_dict(big)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def test_frozen_external_merge_list(self, spark):
+        """A frozen tokenizer (external merge list, no training) prices
+        a corpus in one pass — counts match a direct python apply."""
+        from ocrd_calamari_spark.entry_queries import FROZEN_MERGES
+        from ocrd_calamari_spark.functions.text import bpe_encode_counts
+
+        rows = [(1, "the then and another"), (2, "in on ou er re en")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        def py_encode(word):
+            syms = list(word)
+            for lhs, rhs in FROZEN_MERGES:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == lhs
+                            and syms[i + 1] == rhs):
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        want = {
+            d: (len(t.split()), sum(py_encode(w) for w in t.split()))
+            for d, t in rows
+        }
+        got = {
+            r.doc_id: (r.n_words, r.n_subwords)
+            for r in bpe_encode_counts(df, FROZEN_MERGES).collect()
+        }
+        assert got == want
+
 
 class TestImportanceWeights:
     """DSIR-style hashed-ngram importance weights (functions/selection.py)."""
