@@ -3716,14 +3716,20 @@ WITH pages AS (
                   END))) AS BIGINT) AS n_hosts
   FROM pages
 )
-SELECT url, n_links, n_hosts,
-       CASE WHEN n_links = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(floor(n_hosts * 10000 / n_links) AS BIGINT)
-       END AS host_spread_bp,
-       CAST(CASE WHEN n_links >= 50
-                  AND floor(n_hosts * 10000 / n_links) >= 5000
+, spread AS (
+  -- is_spam derives from the GUARDED spread value (one more CTE) so the
+  -- zero-link path is structurally identical to the Spark side, not
+  -- masked by conjunct short-circuiting
+  SELECT url, n_links, n_hosts,
+         CASE WHEN n_links = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(n_hosts * 10000 / n_links) AS BIGINT)
+         END AS host_spread_bp
+  FROM counted
+)
+SELECT url, n_links, n_hosts, host_spread_bp,
+       CAST(CASE WHEN n_links >= 50 AND host_spread_bp >= 5000
                  THEN 1 ELSE 0 END AS INTEGER) AS is_spam
-FROM counted ORDER BY url
+FROM spread ORDER BY url
 """
 
 
@@ -4915,8 +4921,10 @@ WITH h AS (
   SELECT g, n_g, n, MAX(num) AS num FROM nums GROUP BY 1, 2, 3
 )
 SELECT m.g AS domain, m.n_g AS n_docs,
-       (CAST(m.num AS DOUBLE)
-        / (CAST(m.n_g AS DOUBLE) * CAST(m.n - m.n_g AS DOUBLE))) AS ks,
+       CASE WHEN m.n = m.n_g THEN 0e0
+            ELSE (CAST(m.num AS DOUBLE)
+                  / (CAST(m.n_g AS DOUBLE)
+                     * CAST(m.n - m.n_g AS DOUBLE))) END AS ks,
        MIN(nums.v) AS at_v
 FROM m JOIN nums ON nums.g = m.g AND nums.num = m.num
 GROUP BY 1, 2, 3 ORDER BY domain

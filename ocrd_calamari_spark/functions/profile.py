@@ -289,7 +289,13 @@ def ks_drift(
         .select(
             F.col("g").alias("domain"),
             F.col("n_g").cast("bigint").alias("n_docs"),
-            (
+            # single-group guard: a group covering the WHOLE corpus has
+            # an empty "rest" — the denominator n_g*(n-n_g) is 0 and the
+            # statistic is undefined; emit 0 (no drift vs nothing) so an
+            # all-one-domain slice never yields NaN/Inf (same n=n_g CASE
+            # in the DuckDB twin — structurally identical guards)
+            F.when(F.col("n") == F.col("n_g"), F.lit(0.0))
+            .otherwise(
                 F.col("num").cast("double")
                 / (
                     F.col("n_g").cast("double")

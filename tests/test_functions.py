@@ -3018,6 +3018,21 @@ class TestKsDrift:
             assert got["mv"] > got[f"s{k}"]
             assert got[f"s{k}"] < 0.1
 
+    def test_single_group_corpus_is_guarded(self, spark):
+        """A group covering the WHOLE corpus has an empty complement —
+        the n_g*(n-n_g) denominator is 0; the guard must emit ks=0,
+        never NaN/Inf (an all-one-domain slice is a legal input)."""
+        import math
+
+        from ocrd_calamari_spark.functions.profile import ks_drift
+
+        df = spark.createDataFrame(
+            [("only", v) for v in (3, 17, 42, 99)], ["src", "val"])
+        rows = ks_drift(df, "src", "val", bucket_width=10).collect()
+        assert len(rows) == 1
+        assert rows[0].domain == "only" and rows[0].n_docs == 4
+        assert rows[0].ks == 0.0 and math.isfinite(rows[0].ks)
+
 
 class TestCharDiversity:
     """Simpson character-concentration (functions/text.py:char_diversity)."""
@@ -3198,8 +3213,15 @@ class TestUrlTraps:
         assert len(traps) == 1
         assert traps[0].template == "https://trapN.example/cal?page=N"
         assert traps[0].share_bp == 10000 and traps[0].is_trap == 1
-        # every regular host's single template holds 100 % of its urls
-        # but stays below the absolute-size bar at sf0.001 (500/40 urls)
+        # SCALE SENSITIVITY (documented, not a bug): every synthesized
+        # regular host carries exactly ONE template at 100 % share, so
+        # "not flagged" here rests entirely on the absolute-size bar
+        # (n_urls >= 50; sf0.001 gives 500/40 = ~13 urls/host).  At
+        # sf0.01+ regular hosts cross 50 urls and WOULD flag — that is
+        # the expected behavior of the single-template corpus shape,
+        # not a regression; a real crawl's hosts carry many templates
+        # and the share threshold does the separating.  Keep this test
+        # pinned to sf0.001 (or diversify the fixture) if the sf bumps.
         assert rest and all(r.is_trap == 0 for r in rest)
         assert all(r.share_bp == 10000 for r in rest)
 
