@@ -611,6 +611,64 @@ FROM pairs WHERE j >= 7e-1 ORDER BY id_a, id_b
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup check of a new crawl batch against a persisted LSH band
+    index (functions/dedup.py:incremental_minhash_dedup) — the
+    incremental sibling of minhash_dedup (and the near-dup sibling of
+    the exact-hash incremental_dedup): the existing corpus is never
+    re-signatured; its band keys are the stored artifact and its text is
+    touched only for semi-join-pruned verify candidates.  New batch =
+    the 40 tail-extended docs (disjoint id space); emits every verified
+    pair involving a new doc (new-vs-old and new-vs-new), DuckDB-oracled
+    against all-pairs exact Jaccard restricted to pairs with a new
+    side."""
+    from ocrd_calamari_spark.functions.dedup import incremental_minhash_dedup
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(4 * spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    new = d.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+    )
+    pairs = incremental_minhash_dedup(
+        new, d, threshold=0.7, n_hashes=64, bands=32, min_band_matches=2
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.expr("cast(floor(jaccard * 1e4 + 5e-1) / 1e4 as double)").alias(
+            "jaccard"
+        ),
+    ).orderBy("id_a", "id_b")
+
+
+INCREMENTAL_NEARDUP_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+  FROM documents WHERE doc_id < 40
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tokens[i:i+2], ' ')
+                        for i in range(1, greatest(len(tokens)-2, 1)+1)]) AS s
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS tokens
+        FROM corpus)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) * 1e0
+           / len(list_distinct(list_concat(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(floor(j * 1e4 + 5e-1) / 1e4 AS DOUBLE) AS jaccard
+FROM pairs WHERE j >= 7e-1 AND id_b >= 1000000 ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the minhash pair graph
     (component = min reachable doc_id) — pair lists alone can't drive
@@ -5937,6 +5995,7 @@ QUERIES = {
     "exact_sample": q_exact_sample,
     "chunk_documents": q_chunk_documents,
     "rolling_fingerprints": q_rolling_fingerprints,
+    "incremental_neardup": q_incremental_neardup,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "exact_dup_groups": q_exact_dup_groups,
@@ -6095,6 +6154,7 @@ ORACLES = {
     "lag_delta": LAG_DELTA_SQL,
     "set_union": SET_UNION_SQL,
     "bpe_token_count": BPE_TOKEN_SQL,
+    "incremental_neardup": INCREMENTAL_NEARDUP_SQL,
     "minhash_dedup": MINHASH_SQL,
     "jaccard_dedup": JACCARD_DEDUP_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

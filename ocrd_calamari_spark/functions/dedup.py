@@ -344,6 +344,92 @@ def minhash_dedup(
                                threshold)
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The persistable LSH artifact: (id, band, key) band-bucket rows.
+
+    This is what an incremental pipeline WRITES once per corpus snapshot
+    (3 scalar cols × bands rows per doc ≈ a few hundred bytes — ~10⁻³ of
+    the text) so the next crawl batch can be near-dup-checked WITHOUT
+    re-reading or re-signaturing the existing corpus
+    (``incremental_minhash_dedup``).  Identical math to the index built
+    inline by ``minhash_lsh_candidates``.
+    """
+    return _banded_keys(
+        df.select(
+            F.col(id_col),
+            minhash_signature(
+                word_shingles(text_col, shingle_k), n_hashes
+            ).alias("sig"),
+        ),
+        id_col, n_hashes, bands,
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    index_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    min_band_matches: int = 1,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a new batch — new-vs-indexed plus
+    new-vs-new — against a PERSISTED band index: the production
+    incremental-crawl shape (``incremental_dedup`` is the exact-hash
+    sibling).  The indexed corpus is never re-signatured: its band keys
+    come from ``index_df`` (built here from ``corpus_df`` when None — a
+    small-fixture convenience), and its text is touched only for the
+    semi-join-pruned candidate docs in the verify stage.
+
+    Scale shape: the new batch's band keys probe the index with a plain
+    equi-join on (band, key) — per-batch work ∝ batch size, never corpus
+    size; new-vs-new pairs reuse the banded self-join.  Id spaces must
+    be disjoint (pairs are emitted id_a < id_b).
+
+    Returns (id_a, id_b, jaccard) with exact verified Jaccard ≥
+    ``threshold``.
+    """
+    if index_df is None:
+        index_df = minhash_band_index(corpus_df, id_col, text_col,
+                                      n_hashes, bands, shingle_k)
+    new_banded = minhash_band_index(new_df, id_col, text_col, n_hashes,
+                                    bands, shingle_k).persist()
+    probe = index_df.select(F.col(id_col).alias("_ia"), "band", "key")
+    hits = new_banded.select(
+        F.col(id_col).alias("_ib"), "band", "key"
+    ).join(probe, ["band", "key"]).select(
+        F.least("_ia", "_ib").alias("id_a"),
+        F.greatest("_ia", "_ib").alias("id_b"),
+    )
+    if min_band_matches <= 1:
+        cross = hits.distinct()
+    else:
+        cross = (
+            hits.groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("_m"))
+            .where(F.col("_m") >= min_band_matches)
+            .select("id_a", "id_b")
+        )
+    intra = _bucket_pairs(new_banded, id_col, ["band", "key"],
+                          min_matches=min_band_matches)
+    cands = cross.unionByName(intra).distinct().persist()
+    union_corpus = corpus_df.select(F.col(id_col), F.col(text_col)) \
+        .unionByName(new_df.select(F.col(id_col), F.col(text_col)))
+    return ngram_jaccard_pairs(union_corpus, cands, id_col, text_col,
+                               shingle_k, threshold)
+
+
 def jaccard_index_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

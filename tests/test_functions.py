@@ -3291,3 +3291,90 @@ class TestEffectiveTokens:
         assert r.raw_tokens > r.effective_tokens
         assert r.dup_token_bp == ((r.raw_tokens - r.effective_tokens)
                                   * 10000) // r.raw_tokens
+
+
+class TestIncrementalNearDup:
+    """Incremental near-dup vs a persisted band index
+    (functions/dedup.py:incremental_minhash_dedup)."""
+
+    K, T = 3, 0.7
+
+    @staticmethod
+    def _brute(old_rows, new_rows, k, t):
+        """Ground truth: all pairs involving a new doc with exact
+        shingle Jaccard >= t."""
+        def sh(text):
+            toks = text.strip().lower().split()
+            return {" ".join(toks[i:i + k])
+                    for i in range(max(len(toks) - k + 1, 1))}
+        all_rows = dict(old_rows + new_rows)
+        new_ids = {i for i, _ in new_rows}
+        sets = {i: sh(tx) for i, tx in all_rows.items()}
+        out = {}
+        ids = sorted(all_rows)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                if a not in new_ids and b not in new_ids:
+                    continue
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= t:
+                    out[(a, b)] = j
+        return out
+
+    def _fixture(self, rng_seed=7):
+        import random
+        rng = random.Random(rng_seed)
+        vocab = [f"tok{i:03d}" for i in range(300)]
+        old = [(i, " ".join(rng.choice(vocab) for _ in range(40)))
+               for i in range(20)]
+        new = [
+            (1000, old[3][1] + " freshtail"),       # near-dup of old #3
+            (1001, old[7][1]),                       # exact re-crawl of #7
+            (1002, " ".join(rng.choice(vocab) for _ in range(40))),  # novel
+        ]
+        new.append((1003, new[2][1] + " zz"))        # new-vs-new near-dup
+        return old, new
+
+    def test_matches_bruteforce_over_new_pairs(self, spark):
+        from ocrd_calamari_spark.functions.dedup import (
+            incremental_minhash_dedup)
+
+        old, new = self._fixture()
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in incremental_minhash_dedup(
+                spark.createDataFrame(new, ["doc_id", "text"]),
+                spark.createDataFrame(old, ["doc_id", "text"]),
+                threshold=self.T, n_hashes=64, bands=32,
+                shingle_k=self.K, min_band_matches=2,
+            ).collect()
+        }
+        want = self._brute(old, new, self.K, self.T)
+        assert set(got) == set(want)
+        for p, j in want.items():
+            assert abs(got[p] - j) < 1e-12
+        # old-vs-old pairs must never appear, even if present in the corpus
+        assert all(a >= 1000 or b >= 1000 for a, b in got)
+
+    def test_prebuilt_index_equals_inline(self, spark):
+        """Passing the PERSISTED artifact must give identical pairs to
+        building the index inline — the contract that lets the indexed
+        corpus go un-re-signatured forever."""
+        from ocrd_calamari_spark.functions.dedup import (
+            incremental_minhash_dedup, minhash_band_index)
+
+        old, new = self._fixture()
+        old_df = spark.createDataFrame(old, ["doc_id", "text"])
+        new_df = spark.createDataFrame(new, ["doc_id", "text"])
+        idx = minhash_band_index(old_df, n_hashes=64, bands=32,
+                                 shingle_k=self.K)
+        kw = dict(threshold=self.T, n_hashes=64, bands=32,
+                  shingle_k=self.K, min_band_matches=2)
+        inline = {(r.id_a, r.id_b): r.jaccard
+                  for r in incremental_minhash_dedup(
+                      new_df, old_df, **kw).collect()}
+        stored = {(r.id_a, r.id_b): r.jaccard
+                  for r in incremental_minhash_dedup(
+                      new_df, old_df, index_df=idx, **kw).collect()}
+        assert inline == stored and len(inline) > 0
