@@ -5531,6 +5531,74 @@ FROM cls ORDER BY doc_id
 """
 
 
+# one shared literal for the injected encoding damage — Spark query and
+# DuckDB oracle both embed THIS string (same discipline as the soft-404
+# templates): 'â€' ×2 (double-encoded U+2019/U+201C punctuation) and
+# 'Ã' ×1 (double-encoded Latin-1 letter), zero replacement chars.
+_MOJI_BAD_SUFFIX = " Itâ€™s a â€œbrokenÃ© page."
+
+
+def q_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage (mojibake) screen: counts of U+FFFD replacement
+    characters, double-encoded punctuation ('â€'), and double-encoded
+    Latin-1 letters ('Ã') per document
+    (functions/text.py:mojibake_scores) — the hygiene gate run before
+    any quality scoring (ftfy's detection catalog, counted exactly).
+    Damage is injected deterministically (every 19th ≡ 3 a
+    double-encoded suffix, ≡ 9 a run of 1-4 replacement chars).  Scale
+    shape: pure row-local map — three replace/length pairs in codegen,
+    zero shuffles beyond the scan."""
+    from ocrd_calamari_spark.functions.text import (
+        _MOJI_REPL, mojibake_scores)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eff = (
+        F.when(
+            F.col("doc_id") % 19 == 3,
+            F.concat(F.col("text"), F.lit(_MOJI_BAD_SUFFIX)),
+        )
+        .when(
+            F.col("doc_id") % 19 == 9,
+            F.concat(
+                F.col("text"),
+                F.expr(
+                    f"repeat('{_MOJI_REPL}',"
+                    " cast(doc_id % 4 + 1 as int))"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return mojibake_scores(d.select("doc_id", eff.alias("text"))).orderBy(
+        "doc_id"
+    )
+
+
+MOJIBAKE_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 = 3 THEN text || '{_MOJI_BAD_SUFFIX}'
+              WHEN doc_id % 19 = 9 THEN
+                text || repeat(chr(65533),
+                               CAST(doc_id % 4 + 1 AS INTEGER))
+              ELSE text END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, chr(65533), ''))
+              AS BIGINT) AS n_repl,
+         CAST((length(text) - length(replace(text, 'â€', ''))) // 2
+              AS BIGINT) AS n_punct,
+         CAST(length(text) - length(replace(text, 'Ã', ''))
+              AS BIGINT) AS n_latin
+  FROM corpus
+)
+SELECT doc_id, n_repl, n_punct, n_latin,
+       (n_repl > 0 OR n_punct > 0 OR n_latin > 0) AS is_mojibake
+FROM c ORDER BY doc_id
+"""
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: every doc gets a seeded
     portable hash; shard = hash mod N, position = hash-order rank WITHIN
@@ -5862,6 +5930,89 @@ GROUP BY doc_id ORDER BY doc_id
 BPE_ENCODE_FROZEN_SQL = _bpe_encode_frozen_sql(FROZEN_MERGES)
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (mean subwords per word) under
+    the frozen merge list — the tokenizer-fairness audit: a language
+    whose fertility is far above the corpus mean pays proportionally
+    more of the context window per word, so mixture weights based on
+    raw token counts silently under-sample it.  Composes the frozen
+    encode (functions/text.py:bpe_encode_counts) with a doc→lang join
+    and a language-cardinality agg; fertility is ONE IEEE division of
+    two exact BIGINTs, so the DuckDB twin is hash-exact.  Scale shape:
+    inherits the encode's vocab-sized merge chain + size-switched
+    vocab join; the per-lang rollup shuffles ≤ |langs| rows."""
+    from ocrd_calamari_spark.functions.text import bpe_encode_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_counts(docs, FROZEN_MERGES)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            (
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _tokenizer_fertility_sql(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin: the frozen-encode CTE chain rolled up per language."""
+    S = "chr(31)"
+    expr = "s"
+    for lhs, rhs in merges:
+        pat = f"{S}||'{lhs}'||{S}||{S}||'{rhs}'||{S}"
+        rep = f"{S}||'{lhs}{rhs}'||{S}"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""WITH vocab AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[\\x20-\\x7e]+$')
+), enc AS (
+  SELECT w, CAST(len(string_split(trim({expr}, {S}), {S}||{S}))
+                 AS BIGINT) AS n_sub
+  FROM (
+    SELECT w, {S} || array_to_string(regexp_split_to_array(w, ''),
+                                     {S}||{S}) || {S} AS s
+    FROM vocab
+  )
+), docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[\\x20-\\x7e]+$')
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_sub) AS BIGINT) AS n_subwords
+  FROM docw JOIN enc USING (w)
+  GROUP BY doc_id
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_words) AS BIGINT) AS n_words,
+       CAST(sum(p.n_subwords) AS BIGINT) AS n_subwords,
+       CAST(sum(p.n_subwords) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE)
+         AS fertility
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+TOKENIZER_FERTILITY_SQL = _tokenizer_fertility_sql(FROZEN_MERGES)
+
+
 def q_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-k uniform sample: the 64 docs with the lowest
     seeded portable hash — the eval-set carve (`weighted_sample` /
@@ -6058,12 +6209,16 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "prepare_corpus": q_prepare_corpus,
     "redact_pii": q_redact_pii,
+    "mojibake_detect": q_mojibake_detect,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
 
 ORACLES = {
     "latest_snapshot": LATEST_SNAPSHOT_SQL,
     "normalized_dedup": NORMALIZED_DEDUP_SQL,
     "soft404_filter": SOFT404_SQL,
+    "mojibake_detect": MOJIBAKE_SQL,
+    "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "global_shuffle": GLOBAL_SHUFFLE_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,

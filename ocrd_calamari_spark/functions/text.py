@@ -1316,6 +1316,53 @@ def char_diversity(
     )
 
 
+# Mojibake tells (public knowledge — the ftfy/UnicodeDammit failure
+# catalog): UTF-8 bytes re-decoded as cp1252/latin-1 turn every
+# U+2018-U+201D punctuation mark into an 'â€x' triple and every Latin-1
+# accented letter into an 'Ãx' pair, while a lossy decode leaves
+# U+FFFD replacement characters.  Counting those three markers is the
+# standard cheap screen; a real fixer (ftfy) would then re-encode.
+_MOJI_REPL = "�"
+_MOJI_PUNCT = "â€"  # 'â€' — prefix of all double-encoded punctuation
+_MOJI_LATIN = "Ã"        # 'Ã'  — prefix of double-encoded Latin-1 letters
+
+
+def mojibake_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_repl, n_punct, n_latin, is_mojibake) — per-document
+    encoding-damage screen: counts of U+FFFD replacement characters,
+    double-encoded punctuation marker 'â€' (the cp1252 rendering of any
+    UTF-8 U+20xx punctuation's first two bytes), and double-encoded
+    Latin-1 letter marker 'Ã'.  A nonzero count in any class flags the
+    document — the pre-quality-filter hygiene gate every webtext
+    pipeline runs before scoring (damaged text would otherwise fail
+    downstream filters for the WRONG reason and poison n-gram stats).
+
+    Scale shape: a pure row-local map — three replace/length pairs in
+    whole-stage codegen, zero shuffles beyond the scan; exact integer
+    counts, so the DuckDB twin is hash-exact.  Counting by
+    length-delta (len(s) - len(replace(s, marker, ''))) keeps both
+    engines on identical codepoint semantics.
+    """
+    t = F.col(text_col)
+
+    def _count(marker: str) -> "F.Column":
+        delta = F.length(t) - F.length(F.replace(t, F.lit(marker)))
+        return (delta / len(marker)).cast("bigint")
+
+    n_repl = _count(_MOJI_REPL)
+    n_punct = _count(_MOJI_PUNCT)
+    n_latin = _count(_MOJI_LATIN)
+    return df.select(
+        F.col(id_col),
+        n_repl.alias("n_repl"),
+        n_punct.alias("n_punct"),
+        n_latin.alias("n_latin"),
+        ((n_repl > 0) | (n_punct > 0) | (n_latin > 0)).alias("is_mojibake"),
+    )
+
+
 def winnow_selections(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3076,6 +3076,41 @@ class TestCharDiversity:
         assert got[1] < 0.12
 
 
+class TestMojibake:
+    """Encoding-damage screen (functions/text.py:mojibake_scores)."""
+
+    def test_counts_each_marker_class_exactly(self, spark):
+        from ocrd_calamari_spark.functions.text import mojibake_scores
+
+        docs = [
+            (0, "clean ascii text, nothing to see"),
+            (1, "lossy decode left � and �� here"),
+            (2, "double-encoded: Itâ€™s â€œquotedâ€ fine"),
+            (3, "latin-1 damage: cafÃ© rÃ©sumÃ©"),
+            (4, "Ã and â€ and � all at once"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r.doc_id: (r.n_repl, r.n_punct, r.n_latin, r.is_mojibake)
+               for r in mojibake_scores(df).collect()}
+        assert got[0] == (0, 0, 0, False)
+        assert got[1] == (3, 0, 0, True)
+        assert got[2] == (0, 3, 0, True)
+        assert got[3] == (0, 0, 3, True)
+        assert got[4] == (1, 1, 1, True)
+
+    def test_clean_unicode_is_not_flagged(self, spark):
+        """Properly-encoded accents and curly quotes must NOT trip the
+        screen — only the damage patterns do."""
+        from ocrd_calamari_spark.functions.text import mojibake_scores
+
+        df = spark.createDataFrame(
+            [(0, "café résumé — “real” ‘quotes’ naïve")],
+            ["doc_id", "text"])
+        r = mojibake_scores(df).collect()[0]
+        assert (r.n_repl, r.n_punct, r.n_latin) == (0, 0, 0)
+        assert not r.is_mojibake
+
+
 class TestLinkSpam:
     """Outlink spam score (entry_queries.q_link_spam)."""
 
