@@ -3110,6 +3110,25 @@ class TestMojibake:
         assert (r.n_repl, r.n_punct, r.n_latin) == (0, 0, 0)
         assert not r.is_mojibake
 
+    def test_matches_python_count_on_adversarial_strings(self, spark):
+        """Marker counts must equal Python str.count on strings built
+        from the marker characters themselves (overlaps, prefixes,
+        lone 'â'/'€' fragments) — the length-delta formula's edge cases."""
+        from ocrd_calamari_spark.functions.text import mojibake_scores
+
+        frags = ["â", "€", "Ã", "�", "â€", "â€™", "x", " ", "Ã©â€"]
+        docs = []
+        for i in range(40):
+            s = "".join(frags[(i * 7 + j * 3) % len(frags)]
+                        for j in range(i % 13))
+            docs.append((i, s))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r.doc_id: (r.n_repl, r.n_punct, r.n_latin)
+               for r in mojibake_scores(df).collect()}
+        for i, s in docs:
+            assert got[i] == (s.count("�"), s.count("â€"), s.count("Ã")), \
+                (i, s)
+
 
 class TestLinkSpam:
     """Outlink spam score (entry_queries.q_link_spam)."""

@@ -447,6 +447,29 @@ class TestRound4LateOpPlans:
         assert plan.count("Exchange") == 1  # orderBy only
         assert "Python" not in plan
 
+    def test_mojibake_is_pure_map(self, spark):
+        """Encoding-damage screen is row-local: no aggregation, no join;
+        the only exchange is the presentation orderBy's range partition;
+        the three marker counts run in codegen, not Python."""
+        from ocrd_calamari_spark.entry_queries import q_mojibake_detect
+
+        plan = plan_of(q_mojibake_detect(spark, SF), "simple")
+        assert "HashAggregate" not in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange") == 1  # orderBy only
+        assert "Python" not in plan
+
+    def test_tokenizer_fertility_aggs_are_partial(self, spark):
+        """The per-lang fertility rollup must partial-aggregate map-side
+        (per-doc and per-lang HashAggregates) and keep the small sides
+        broadcast — never a corpus-side shuffle of text."""
+        from ocrd_calamari_spark.entry_queries import q_tokenizer_fertility
+
+        plan = plan_of(q_tokenizer_fertility(spark, SF), "simple")
+        assert "HashAggregate" in plan
+        assert "BroadcastExchange" in plan
+        assert "Python" not in plan
+
     def test_global_shuffle_window_is_shard_partitioned(self, spark):
         """The training-order rank must be a PER-SHARD window (bounded by
         corpus/N), never a global-order single-task window."""
