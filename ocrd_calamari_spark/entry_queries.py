@@ -611,6 +611,108 @@ FROM pairs WHERE j >= 7e-1 ORDER BY id_a, id_b
 """
 
 
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-vs-exact-Jaccard recall audit
+    (functions/dedup.py:minhash_recall_audit) — the dedup sibling of
+    ann_recall, but HASH-EXACT: signatures, band keys, candidates, and
+    buckets all build on the portable md5 hash, so DuckDB reproduces
+    the entire audit bit-for-bit.  Fixture: every doc gets one
+    truncated copy keeping 55/70/85/95/100 % of its tokens (by
+    doc_id%5), spreading true pairs across J buckets 5..10 so the
+    8-band × 2-row S-curve's sub-1 recall at low J is actually
+    MEASURED, not assumed.  Scale shape: per-row signature folds; only
+    (hash, id) postings and (id, band, key) rows shuffle; ≤ 10-group
+    final agg."""
+    from ocrd_calamari_spark.functions.dedup import minhash_recall_audit
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(4 * spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    pct = (
+        F.when(F.col("doc_id") % 5 == 0, 55)
+        .when(F.col("doc_id") % 5 == 1, 70)
+        .when(F.col("doc_id") % 5 == 2, 85)
+        .when(F.col("doc_id") % 5 == 3, 95)
+        .otherwise(100)
+    )
+    variants = d.withColumn("_pct", pct).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(trim(text), '\\\\s+'), 1,"
+            " greatest(cast(div(size(split(trim(text), '\\\\s+')) * _pct,"
+            " 100) as int), 1)), ' ')"
+        ).alias("text"),
+    )
+    return minhash_recall_audit(d.unionByName(variants))
+
+
+MINHASH_RECALL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 55 WHEN 1 THEN 70
+              WHEN 2 THEN 85 WHEN 3 THEN 95 ELSE 100 END AS pct
+  FROM documents
+), corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           t[1:greatest(CAST((len(t) * pct) // 100 AS INTEGER), 1)],
+           ' ') AS text
+  FROM tok
+), ltok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM corpus
+), shs AS (
+  SELECT doc_id, list_distinct([
+      ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT
+      for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
+  FROM ltok
+), post AS (
+  SELECT doc_id, unnest(sh) AS h FROM shs
+), sizes AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shs
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT id_a, id_b, (inter * 10) // (sa.n + sb.n - inter) AS bucket
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 10 >= 4 * (sa.n + sb.n - inter)
+), mh AS (
+  SELECT p.doc_id, s.seed,
+         min(('0x' || substr(md5(CAST(p.h AS VARCHAR) || ':' ||
+                                 CAST(s.seed AS VARCHAR)), 1, 15))::BIGINT
+             ) AS m
+  FROM post p CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY 1, 2
+), bnd AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY seed) AS key
+  FROM mh GROUP BY doc_id, seed // 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnd a JOIN bnd b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), flg AS (
+  SELECT t.bucket, CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM truth t LEFT JOIN cand c
+    ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       (CAST(SUM(hit) AS BIGINT) * 10000) // CAST(COUNT(*) AS BIGINT)
+         AS recall_bp
+FROM flg GROUP BY bucket ORDER BY bucket
+"""
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-dup check of a new crawl batch against a persisted LSH band
     index (functions/dedup.py:incremental_minhash_dedup) — the
@@ -6211,6 +6313,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "mojibake_detect": q_mojibake_detect,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "minhash_recall": q_minhash_recall,
 }
 
 ORACLES = {
@@ -6219,6 +6322,7 @@ ORACLES = {
     "soft404_filter": SOFT404_SQL,
     "mojibake_detect": MOJIBAKE_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
+    "minhash_recall": MINHASH_RECALL_SQL,
     "global_shuffle": GLOBAL_SHUFFLE_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,

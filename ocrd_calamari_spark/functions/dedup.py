@@ -430,6 +430,150 @@ def incremental_minhash_dedup(
                                shingle_k, threshold)
 
 
+def _portable_hash(col) -> "F.Column":
+    """The cross-engine 60-bit md5 hash (PORTABLE_TOKEN_HASH_SQL) as a
+    Column expression — DuckDB reproduces it bit-for-bit."""
+    return F.conv(
+        F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_recall_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    min_bucket: int = 4,
+) -> DataFrame:
+    """Measured LSH candidate recall vs EXACT Jaccard, per similarity
+    bucket — the dedup-side sibling of ``ann_recall``: before trusting a
+    (bands × rows) operating point on a new corpus, measure where on the
+    S-curve its misses actually land (the analytic 1-(1-J^r)^b curve
+    assumes independent uniform hashes; real shingle distributions and
+    small shingle sets deviate).
+
+    Everything is built on the PORTABLE md5 hash — shingle hashes AND
+    the per-seed minhash mixes — so a SQL engine reproduces signatures,
+    band keys, candidate pairs, and buckets bit-for-bit: the audit
+    itself is hash-exact oracle-checkable, unlike the xxhash64
+    production path it models.
+
+    Ground truth is the inverted-index counting join (work ∝ shared
+    shingles, never all-pairs — ``jaccard_index_dedup``'s economics);
+    buckets are exact integer math: ``bucket = (inter*10) div union``
+    (J ∈ [bucket/10, (bucket+1)/10)), pairs kept where
+    ``inter*10 ≥ min_bucket*union``.  Returns
+    (bucket, n_pairs, n_hit, recall_bp) with
+    ``recall_bp = (n_hit*10000) div n_pairs``.
+
+    Scale shape: signature fold and band keys are per-row maps; only
+    (i64 hash, id) postings, (id, band, key) rows, and (id_a, id_b)
+    pairs shuffle; the final agg is ≤ 10 groups.  At corpus scale run
+    it on a hash-sampled slice — recall is a property of the operating
+    point, not the corpus size.
+    """
+    rows = n_hashes // bands
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_tok = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n_tok - shingle_k + 1, F.lit(1)))
+    sh = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: _portable_hash(
+                F.concat_ws(" ", F.slice(tokens, i, shingle_k))
+            ),
+        )
+    )
+    # one cached compact table feeds sizes, postings, and signatures
+    shdf = df.select(F.col(id_col), sh.alias("sh")).persist()
+
+    # --- exact truth: counting join on portable shingle hashes ---
+    sizes = shdf.select(F.col(id_col), F.size("sh").cast("long").alias("n"))
+    postings = shdf.select(F.col(id_col), F.explode("sh").alias("h"))
+    inter = (
+        postings.select(F.col(id_col).alias("id_a"), "h")
+        .join(postings.select(F.col(id_col).alias("id_b"), "h"), "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a", "id_b", "inter",
+            (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("uni"),
+        )
+        .where(F.col("inter") * 10 >= F.lit(min_bucket) * F.col("uni"))
+        .select(
+            "id_a", "id_b",
+            F.expr("div(inter * 10, uni)").alias("bucket"),
+        )
+    )
+
+    # --- LSH candidates from portable-hash signatures ---
+    sig = F.aggregate(
+        F.col("sh"),
+        F.expr(
+            f"array_repeat(cast(9223372036854775807 as bigint), {n_hashes})"
+        ),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.expr(f"sequence(0, {n_hashes - 1})"),
+            lambda m, j: F.least(
+                m,
+                _portable_hash(
+                    F.concat(h.cast("string"), F.lit(":"), j.cast("string"))
+                ),
+            ),
+        ),
+    )
+    banded = (
+        shdf.select(F.col(id_col), sig.alias("sig"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        )
+        .select(id_col, F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+        .persist()
+    )
+    cand = _bucket_pairs(banded, id_col, ["band", "key"])
+
+    return (
+        truth.join(cand.withColumn("_hit", F.lit(1)), ["id_a", "id_b"],
+                   "left")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "bucket", "n_pairs", "n_hit",
+            F.expr("div(n_hit * 10000, n_pairs)").alias("recall_bp"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def jaccard_index_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
