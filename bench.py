@@ -80,6 +80,8 @@ HEADLINE = [
     "paragraph_dedup",
     "bpe_encode",
     "dsir_weights",
+    "mojibake_detect",
+    "tokenizer_fertility",
 ]
 
 
