@@ -945,10 +945,54 @@ def dedup_spans_in_doc(
 _BPE_SEP = "\x1f"
 
 
+def _bpe_local_merges(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side BPE merge loop over a collected word-frequency table —
+    byte-identical semantics to the distributed loop: weighted adjacent
+    pair counts, argmax with (count DESC, lhs ASC, rhs ASC) tie-break,
+    left-to-right non-overlapping merge application."""
+    from collections import Counter
+
+    words = [(list(w), int(c)) for w, c in word_counts]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            raise ValueError(
+                f"corpus exhausted its adjacent pairs after "
+                f"{rank - 1} merges; reduce n_merges"
+            )
+        (lhs, rhs), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lhs, rhs, lhs + rhs, cnt))
+        merged = lhs + rhs
+        nxt = []
+        for syms, c in words:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == lhs
+                        and syms[i + 1] == rhs):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, c))
+        words = nxt
+    return merges
+
+
 def bpe_train_merges(
     df,
     text_col: str = "text",
     n_merges: int = 12,
+    driver_vocab_max: int | None = 100_000,
 ) -> "DataFrame":
     """Train a BPE tokenizer's merge table DISTRIBUTED: the classic
     greedy loop (count adjacent symbol pairs -> merge the most frequent
@@ -988,6 +1032,21 @@ def bpe_train_merges(
     ``n_merges`` rows — callers must size ``n_merges`` below the
     corpus's distinct-pair count (a tiny corpus that exhausts its pairs
     raises rather than silently under-returning).
+
+    ``driver_vocab_max``: the merge loop runs over the WORD-FREQUENCY
+    table, not the corpus — and that table can be tiny (a clean 10^6-word
+    vocab is a few MB) while each distributed iteration still pays full
+    job/stage scheduling on it.  The table is persisted and counted
+    (one bounded action — the corpus scan it forces was already paid by
+    the old ``cur.count()``); at or below the threshold it collects to
+    the driver and the loop runs locally with byte-identical semantics
+    (``_bpe_local_merges``: same weighted pair counts, same
+    deterministic argmax, same left-to-right non-overlap merge —
+    size-switch equality pinned in tests).  Above it, the distributed
+    loop runs unchanged: at a raw crawl's 10^8-10^9-row vocab the
+    cluster is the only place the loop fits — the same honest switch as
+    ``bpe_encode_counts``'s ``broadcast_vocab_max``.  ``None`` forces
+    the distributed path.
     """
     spark = df.sparkSession
     sep = _BPE_SEP
@@ -1001,6 +1060,25 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+    schema = (
+        "merge_rank bigint, lhs string, rhs string, "
+        "merged string, pair_count bigint"
+    )
+    sized = False
+    if driver_vocab_max is not None:
+        # persist carries the word table through either branch: the
+        # local path reads it once more (collect), the distributed path
+        # builds cur off it without a second corpus scan
+        words = words.persist()
+        sized = True
+        if words.count() <= driver_vocab_max:
+            try:
+                wc = [(r["w"], r["cnt"]) for r in words.collect()]
+            finally:
+                words.unpersist()
+            return spark.createDataFrame(
+                _bpe_local_merges(wc, n_merges), schema
+            )
     cur = words.select(
         "cnt",
         F.concat(
@@ -1010,6 +1088,8 @@ def bpe_train_merges(
         ).alias("s"),
     ).persist()
     cur.count()
+    if sized:
+        words.unpersist()
     merges = []
     try:
         for rank in range(1, n_merges + 1):
@@ -1057,11 +1137,7 @@ def bpe_train_merges(
             cur = nxt
     finally:
         cur.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank bigint, lhs string, rhs string, "
-        "merged string, pair_count bigint",
-    )
+    return spark.createDataFrame(merges, schema)
 
 
 def dedup_paragraphs_global(df, id_col: str = "doc_id",

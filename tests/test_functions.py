@@ -2568,6 +2568,31 @@ class TestBpeTrainMerges:
         ]
         assert got == exp
 
+    def test_size_switch_paths_are_identical(self, spark):
+        """driver_vocab_max=0 forces the DISTRIBUTED merge loop; the
+        default collects and runs in-driver — both must produce the
+        exact same merge table (and match the reference): the size
+        switch is an execution strategy, never a semantics change."""
+        from ocrd_calamari_spark.functions.text import bpe_train_merges
+
+        texts = [
+            "pair pear peat peak repeat repair",
+            "aaa aaaa aa a",
+            "mix mixed mixing remix",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+
+        def run(**kw):
+            return [
+                (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+                for r in bpe_train_merges(df, n_merges=6, **kw)
+                .orderBy("merge_rank").collect()
+            ]
+
+        local = run()                        # vocab << default threshold
+        dist = run(driver_vocab_max=0)       # forced distributed loop
+        assert local == dist == self._reference(texts, 6)
+
     def test_multichar_merges_compose(self, spark):
         # merges of already-merged symbols must use the WHOLE symbols,
         # never re-split them ("th"+"e" -> "the", not "t"+"he")
