@@ -82,6 +82,7 @@ HEADLINE = [
     "dsir_weights",
     "mojibake_detect",
     "tokenizer_fertility",
+    "clean_pipeline",
 ]
 
 

@@ -5633,11 +5633,205 @@ FROM cls ORDER BY doc_id
 """
 
 
+def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning pipeline as ONE plan — the interop
+    flagship: soft-404 screen → mojibake screen → length/token floor →
+    normalized first-occurrence dedup → per-language accounting, each
+    stage the registry's own operator semantics (first-failing
+    attribution like quality_funnel).  Fixture: the soft404 + mojibake
+    damage injections plus upper-cased '!!' normalized-dup variants for
+    doc_id%7==0, so every stage provably drops rows.  Scale shape: all
+    four stage predicates fuse into the scan-side codegen projection,
+    reducing each row to compact (doc, lang, stage, tokc, 16-byte norm
+    fp) BEFORE anything moves — text never shuffles; the dedup window
+    hash-partitions on the fp and the two per-lang aggs are
+    dimension-sized.  The stage-count agg and the survivor window each
+    read the staged projection (two scans of the source — at corpus
+    scale persist the staged frame instead if the storage tier makes
+    re-scan the costlier side; both are row-local-cheap)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    variants = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = d.unionByName(variants)
+    from ocrd_calamari_spark.functions.text import (
+        _MOJI_LATIN, _MOJI_PUNCT, _MOJI_REPL, token_count_sql)
+
+    eff = (
+        F.when(
+            F.col("doc_id") % 23 == 5,
+            F.lit(
+                "Error 404: Page Not Found. The requested URL was rejected."
+            ),
+        )
+        .when(
+            F.col("doc_id") % 23 == 9,
+            F.lit(
+                "Access Denied. Please enable JavaScript and complete the"
+                " CAPTCHA to continue."
+            ),
+        )
+        .when(
+            F.col("doc_id") % 19 == 3,
+            F.concat(F.col("text"), F.lit(_MOJI_BAD_SUFFIX)),
+        )
+        .when(
+            F.col("doc_id") % 19 == 9,
+            F.concat(
+                F.col("text"),
+                F.expr(
+                    f"repeat('{_MOJI_REPL}', cast(doc_id % 4 + 1 as int))"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    staged = corpus.select("doc_id", "lang", eff.alias("text"))
+    low = F.lower(F.col("text"))
+    soft404 = (
+        (F.instr(low, "page not found") > 0)
+        | (F.instr(low, "access denied") > 0)
+        | (F.instr(low, "enable javascript") > 0)
+        | (F.instr(low, "captcha") > 0)
+    )
+    moji = (
+        (F.length("text") - F.length(F.replace(F.col("text"),
+                                               F.lit(_MOJI_REPL))) > 0)
+        | (F.length("text") - F.length(F.replace(F.col("text"),
+                                                 F.lit(_MOJI_PUNCT))) > 0)
+        | (F.length("text") - F.length(F.replace(F.col("text"),
+                                                 F.lit(_MOJI_LATIN))) > 0)
+    )
+    tokc = F.expr(token_count_sql("text")).cast("long")
+    lowq = (tokc < 10) | (F.length("text") > 20000)
+    from ocrd_calamari_spark.functions.dedup import NORMALIZE_FOR_DEDUP_SQL
+
+    staged = staged.select(
+        "doc_id",
+        "lang",
+        tokc.alias("tokc"),
+        F.when(soft404, F.lit(1))
+        .when(moji, F.lit(2))
+        .when(lowq, F.lit(3))
+        .otherwise(F.lit(0))
+        .alias("stage"),
+        F.substring(
+            F.md5(
+                F.expr(NORMALIZE_FOR_DEDUP_SQL.format(t="text"))
+                .cast("binary")
+            ), 1, 16,
+        ).alias("norm"),
+    )
+    from pyspark.sql import Window
+
+    filt = staged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum((F.col("stage") == 1).cast("long")).alias("n_soft404"),
+        F.sum((F.col("stage") == 2).cast("long")).alias("n_mojibake"),
+        F.sum((F.col("stage") == 3).cast("long")).alias("n_lowq"),
+    )
+    surv = staged.where(F.col("stage") == 0)
+    w = Window.partitionBy("norm")
+    surv = surv.withColumn("rep", F.min("doc_id").over(w))
+    ded = surv.groupBy("lang").agg(
+        F.sum((F.col("doc_id") != F.col("rep")).cast("long")).alias("n_dup"),
+        F.sum((F.col("doc_id") == F.col("rep")).cast("long")).alias(
+            "n_kept"
+        ),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("rep"), F.col("tokc"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("kept_tokens"),
+    )
+    return (
+        filt.join(ded, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            "n_soft404",
+            "n_mojibake",
+            "n_lowq",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 # one shared literal for the injected encoding damage — Spark query and
 # DuckDB oracle both embed THIS string (same discipline as the soft-404
 # templates): 'â€' ×2 (double-encoded U+2019/U+201C punctuation) and
 # 'Ã' ×1 (double-encoded Latin-1 letter), zero replacement chars.
 _MOJI_BAD_SUFFIX = " Itâ€™s a â€œbrokenÃ© page."
+
+CLEAN_PIPELINE_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, upper(text) || ' !!' AS text
+  FROM documents WHERE doc_id % 7 = 0
+), eff AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 23 = 5 THEN
+                'Error 404: Page Not Found. The requested URL was rejected.'
+              WHEN doc_id % 23 = 9 THEN
+                'Access Denied. Please enable JavaScript and complete the'
+                || ' CAPTCHA to continue.'
+              WHEN doc_id % 19 = 3 THEN text || '{_MOJI_BAD_SUFFIX}'
+              WHEN doc_id % 19 = 9 THEN
+                text || repeat(chr(65533), CAST(doc_id % 4 + 1 AS INTEGER))
+              ELSE text END AS text
+  FROM corpus
+), staged AS (
+  SELECT doc_id, lang,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1
+              AS BIGINT) AS tokc,
+         CASE WHEN contains(lower(text), 'page not found')
+                OR contains(lower(text), 'access denied')
+                OR contains(lower(text), 'enable javascript')
+                OR contains(lower(text), 'captcha') THEN 1
+              WHEN length(text) - length(replace(text, chr(65533), '')) > 0
+                OR length(text) - length(replace(text, 'â€', '')) > 0
+                OR length(text) - length(replace(text, 'Ã', '')) > 0 THEN 2
+              WHEN (length(text) - length(replace(text, ' ', '')) + 1) < 10
+                OR length(text) > 20000 THEN 3
+              ELSE 0 END AS stage,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM eff
+), filt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(sum(CASE WHEN stage = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_soft404,
+         CAST(sum(CASE WHEN stage = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_mojibake,
+         CAST(sum(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lowq
+  FROM staged GROUP BY lang
+), surv AS (
+  SELECT lang, doc_id, tokc,
+         min(doc_id) OVER (PARTITION BY norm) AS rep
+  FROM staged WHERE stage = 0
+), ded AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup,
+         CAST(sum(CASE WHEN doc_id = rep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(sum(CASE WHEN doc_id = rep THEN tokc ELSE 0 END) AS BIGINT)
+           AS kept_tokens
+  FROM surv GROUP BY lang
+)
+SELECT f.lang, f.n_raw, f.n_soft404, f.n_mojibake, f.n_lowq,
+       COALESCE(d.n_dup, 0) AS n_dup,
+       COALESCE(d.n_kept, 0) AS n_kept,
+       COALESCE(d.kept_tokens, 0) AS kept_tokens
+FROM filt f LEFT JOIN ded d USING (lang) ORDER BY f.lang
+"""
 
 
 def q_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6314,6 +6508,7 @@ QUERIES = {
     "mojibake_detect": q_mojibake_detect,
     "tokenizer_fertility": q_tokenizer_fertility,
     "minhash_recall": q_minhash_recall,
+    "clean_pipeline": q_clean_pipeline,
 }
 
 ORACLES = {
@@ -6323,6 +6518,7 @@ ORACLES = {
     "mojibake_detect": MOJIBAKE_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "minhash_recall": MINHASH_RECALL_SQL,
+    "clean_pipeline": CLEAN_PIPELINE_SQL,
     "global_shuffle": GLOBAL_SHUFFLE_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,

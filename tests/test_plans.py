@@ -470,6 +470,17 @@ class TestRound4LateOpPlans:
         assert "BroadcastExchange" in plan
         assert "Python" not in plan
 
+    def test_clean_pipeline_stays_jvm_and_windows_on_fingerprint(
+            self, spark):
+        """The composed cleaning pipeline must run entirely in codegen
+        (no Python evaluator) and its dedup window must partition on
+        the compact norm fingerprint, never on text."""
+        from ocrd_calamari_spark.entry_queries import q_clean_pipeline
+
+        plan = plan_of(q_clean_pipeline(spark, SF), "simple")
+        assert "Python" not in plan
+        assert "windowspecdefinition(norm" in plan
+
     def test_global_shuffle_window_is_shard_partitioned(self, spark):
         """The training-order rank must be a PER-SHARD window (bounded by
         corpus/N), never a global-order single-task window."""
