@@ -17,8 +17,8 @@ FAST_ORACLED = ["filter_project", "topk_per_lang", "join_revenue",
                 "domain_divergence", "inverted_index",
                 "quality_classifier", "lm_quality", "crawl_depth",
                 "snapshot_diff", "latest_snapshot", "normalized_dedup",
-                "soft404_filter", "mojibake_detect", "global_shuffle",
-                "vocab_coverage",
+                "soft404_filter", "mojibake_detect", "clean_pipeline",
+                "global_shuffle", "vocab_coverage",
                 "paragraph_dedup", "bpe_encode", "exact_sample"]
 
 
