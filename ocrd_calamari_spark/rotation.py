@@ -36,6 +36,10 @@ import re
 CHANGED_SINCE_GREEN: tuple[str, ...] = (
     # round-4 bounded rewrite landed after the r03 green row
     "inverted_index",
+    # round-5 driver_vocab_max size switch in bpe_train_merges landed
+    # after bpe_train's last green row (bpe_encode shares the change but
+    # has never been driver-checked, so it auto-fronts already)
+    "bpe_train",
 )
 
 _ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
