@@ -237,9 +237,50 @@ def records_to_rows(name: str, data: bytes) -> Iterator[dict]:
         }
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC file(s) → pages DataFrame (url, warc_ts, html, text, lang,
-    _src_file, _src_row)."""
+def wet_records_to_rows(name: str, data: bytes) -> Iterator[dict]:
+    """WET file bytes → pages rows.  WET is the Common-Crawl
+    extracted-text distribution: the SAME WARC container format, but
+    records are ``warc-type: conversion`` carrying a plain-text body with
+    no HTTP envelope — so the splitter, gzip-member handling, and bomb
+    caps are shared with the response reader verbatim; only the record
+    filter and payload mapping differ (text filled, html None).  The
+    warcinfo header record and any response records in a mixed file are
+    skipped."""
+    if name.endswith(".gz"):
+        data = _bounded_gunzip_members(data, _MAX_FILE_BYTES)
+    for i, (headers, body) in enumerate(iter_warc_records(data)):
+        if headers.get(b"warc-type") != b"conversion":
+            continue
+        url = headers.get(b"warc-target-uri")
+        if url is None:
+            continue
+        yield {
+            "url": url.decode("utf-8", "replace"),
+            "warc_ts": _warc_ts(headers),
+            "html": None,
+            "text": body.decode("utf-8", "replace"),
+            "lang": None,
+            "_src_file": name,
+            "_src_row": i,
+        }
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET file(s) → pages DataFrame with ``text`` populated and ``html``
+    None — the already-extracted Common-Crawl text tier, feeding the
+    text-side operators (dedup, quality, lang-id) directly without the
+    extraction kernel.  Same binaryFile → mapInPandas shape as
+    ``read_warc`` (whole-file units; WET shards are ~100 MB-bounded by
+    the producer, and the gzip bomb caps still guard the decode)."""
+    return _read_warc_family(spark, path, wet_records_to_rows)
+
+
+def _read_warc_family(spark: SparkSession, path: str,
+                      row_fn) -> DataFrame:
+    """Shared binaryFile → mapInPandas scan for WARC-container formats;
+    ``row_fn(name, bytes) -> Iterator[dict]`` decides the record filter
+    and payload mapping (response → html for WARC, conversion → text for
+    WET)."""
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
@@ -260,10 +301,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for name, content in zip(pdf["path"].values,
                                      pdf["content"].values):
-                rows.extend(records_to_rows(str(name), bytes(content)))
+                rows.extend(row_fn(str(name), bytes(content)))
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(_fn, schema)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file(s) → pages DataFrame (url, warc_ts, html, text, lang,
+    _src_file, _src_row)."""
+    return _read_warc_family(spark, path, records_to_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +348,45 @@ def write_warc(pages_pdf: pd.DataFrame, path: str,
             "WARC-Target-URI": row["url"],
             "WARC-Date": iso,
             "Content-Type": "application/http;msgtype=response",
+        })
+    blob = bytes(out)
+    if compress:
+        blob = gzip.compress(blob)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def write_wet(pages_pdf: pd.DataFrame, path: str,
+              compress: bool = False) -> None:
+    """pages rows → one WET file (warcinfo + conversion records with
+    plain-text bodies, no HTTP envelope) — the Common-Crawl
+    extracted-text shard shape, for tests/benches of ``read_wet``."""
+    import hashlib
+
+    out = bytearray()
+
+    def record(rtype: str, body: bytes, extra: dict) -> bytes:
+        rid = hashlib.md5(
+            rtype.encode() + extra.get("WARC-Target-URI", "").encode()
+        ).hexdigest()
+        head = [b"WARC/1.0", b"WARC-Type: " + rtype.encode(),
+                b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">"]
+        for k, v in extra.items():
+            head.append(k.encode() + b": " + v.encode())
+        head.append(b"Content-Length: " + str(len(body)).encode())
+        return b"\r\n".join(head) + _CRLF2 + body + _CRLF2
+
+    out += record("warcinfo", b"software: ocrd-calamari-spark-gen\r\n",
+                  {"WARC-Date": "2024-06-01T00:00:00Z"})
+    for _, row in pages_pdf.iterrows():
+        body = (row["text"] or "").encode("utf-8")
+        ts = row["warc_ts"]
+        iso = (pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+               if ts is not None else "2024-06-01T00:00:00Z")
+        out += record("conversion", body, {
+            "WARC-Target-URI": row["url"],
+            "WARC-Date": iso,
+            "Content-Type": "text/plain",
         })
     blob = bytes(out)
     if compress:

@@ -252,3 +252,75 @@ class TestHttpBodyDecoding:
         body2 = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
                  b"5\r\nhello")
         assert _http_payload(body2) == b"hello"
+
+
+class TestWetSource:
+    """WET (Common-Crawl extracted text) tier: conversion records, plain
+    text bodies, shared container machinery with the WARC reader."""
+
+    @pytest.fixture(scope="class")
+    def wet_pdf(self, pages_pdf):
+        pdf = pages_pdf[["url", "warc_ts"]].copy()
+        pdf["text"] = [
+            f"Document {i} body with words\nand a café — naïve line."
+            for i in range(len(pdf))
+        ]
+        return pdf
+
+    def test_round_trip_text_exact(self, spark, wet_pdf, tmp_path_factory):
+        from ocrd_calamari_spark.sources.warc import read_wet, write_wet
+
+        d = tmp_path_factory.mktemp("wet")
+        p = str(d / "crawl-00000.warc.wet")
+        write_wet(wet_pdf, p)
+        got = read_wet(spark, p).toPandas().set_index("url")
+        src = wet_pdf.set_index("url")
+        assert sorted(got.index) == sorted(src.index)
+        for url in src.index:
+            assert got.loc[url, "text"] == src.loc[url, "text"]
+        assert got["html"].isna().all()
+        assert got["warc_ts"].notna().all()
+
+    def test_gzip_round_trip(self, spark, wet_pdf, tmp_path_factory):
+        from ocrd_calamari_spark.sources.warc import read_wet, write_wet
+
+        d = tmp_path_factory.mktemp("wetgz")
+        p = str(d / "crawl-00000.warc.wet.gz")
+        write_wet(wet_pdf, p, compress=True)
+        got = read_wet(spark, p).toPandas()
+        assert len(got) == len(wet_pdf)
+        assert set(got["url"]) == set(wet_pdf["url"])
+
+    def test_mixed_container_filters_by_record_type(
+            self, spark, pages_pdf, wet_pdf, tmp_path_factory):
+        """A concatenated response+conversion stream: read_warc must see
+        only the response records, read_wet only the conversion ones —
+        the record-type filter, not file naming, decides."""
+        from ocrd_calamari_spark.sources.warc import (
+            read_wet, write_warc, write_wet)
+
+        d = tmp_path_factory.mktemp("mixed")
+        pw, pt = str(d / "a.warc"), str(d / "b.warc")
+        write_warc(pages_pdf.head(5), pw)
+        write_wet(wet_pdf.head(7), pt)
+        mixed = str(d / "mixed.warc")
+        with open(mixed, "wb") as f:
+            f.write(open(pw, "rb").read() + open(pt, "rb").read())
+        assert read_wet(spark, mixed).count() == 7
+        assert read_warc(spark, mixed).count() == 5
+
+    def test_wet_feeds_text_operators_directly(
+            self, spark, wet_pdf, tmp_path_factory):
+        """The WET tier's point: text-side ops run with no extraction
+        kernel in between."""
+        from ocrd_calamari_spark.functions.text import mojibake_scores
+        from ocrd_calamari_spark.sources.warc import read_wet, write_wet
+
+        d = tmp_path_factory.mktemp("wetops")
+        p = str(d / "x.warc.wet")
+        write_wet(wet_pdf.head(20), p)
+        pages = read_wet(spark, p).select(
+            F.col("url").alias("doc_id"), "text")
+        rows = mojibake_scores(pages).collect()
+        assert len(rows) == 20
+        assert all(not r.is_mojibake for r in rows)
