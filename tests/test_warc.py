@@ -324,3 +324,71 @@ class TestWetSource:
         rows = mojibake_scores(pages).collect()
         assert len(rows) == 20
         assert all(not r.is_mojibake for r in rows)
+
+
+class TestWatSource:
+    """WAT (Common-Crawl metadata/link) tier: JSON-envelope metadata
+    records → one (page, outlink) row per link — the link-graph feed
+    at ~1/20 the archive bytes."""
+
+    @pytest.fixture(scope="class")
+    def wat_pdf(self, pages_pdf):
+        pdf = pages_pdf[["url", "warc_ts"]].head(12).copy()
+        pdf["hrefs"] = [
+            [f"https://host{i % 3}.example/p/{j}" for j in range(i % 4)]
+            for i in range(len(pdf))
+        ]
+        return pdf
+
+    def test_round_trip_links_exact(self, spark, wat_pdf,
+                                    tmp_path_factory):
+        from ocrd_calamari_spark.sources.warc import read_wat, write_wat
+
+        d = tmp_path_factory.mktemp("wat")
+        p = str(d / "crawl-00000.warc.wat")
+        write_wat(wat_pdf, p)
+        got = read_wat(spark, p).toPandas()
+        want = [(r["url"], h, j)
+                for _, r in wat_pdf.iterrows()
+                for j, h in enumerate(r["hrefs"])]
+        assert sorted(zip(got["url"], got["href"], got["link_idx"])) \
+            == sorted(want)
+        assert got["warc_ts"].notna().all()
+
+    def test_malformed_json_record_is_skipped_not_fatal(
+            self, spark, wat_pdf, tmp_path_factory):
+        from ocrd_calamari_spark.sources.warc import read_wat, write_wat
+
+        d = tmp_path_factory.mktemp("watbad")
+        p = str(d / "bad.warc.wat")
+        write_wat(wat_pdf, p)
+        blob = open(p, "rb").read()
+        bad = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+               b"WARC-Record-ID: <urn:uuid:deadbeef>\r\n"
+               b"WARC-Target-URI: https://broken.example/\r\n"
+               b"Content-Length: 9\r\n\r\nnot json!\r\n\r\n")
+        with open(p, "wb") as f:
+            f.write(blob + bad)
+        got = read_wat(spark, p).toPandas()
+        assert "https://broken.example/" not in set(got["url"])
+        n_links = sum(len(h) for h in wat_pdf["hrefs"])
+        assert len(got) == n_links
+
+    def test_wat_feeds_link_graph_directly(self, spark, wat_pdf,
+                                           tmp_path_factory):
+        """Host-level edges straight off the metadata tier — no HTML
+        parse anywhere in the plan."""
+        from ocrd_calamari_spark.sources.warc import read_wat, write_wat
+
+        d = tmp_path_factory.mktemp("watgraph")
+        p = str(d / "g.warc.wat")
+        write_wat(wat_pdf, p)
+        links = read_wat(spark, p)
+        edges = (links
+                 .select(F.expr("parse_url(url, 'HOST')").alias("src"),
+                         F.expr("parse_url(href, 'HOST')").alias("dst"))
+                 .where(F.col("dst").isNotNull())
+                 .groupBy("src", "dst").count())
+        rows = edges.collect()
+        assert len(rows) > 0
+        assert all(r["count"] >= 1 for r in rows)
