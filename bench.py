@@ -185,6 +185,14 @@ def make_session(cores: int) -> SparkSession:
         .appName(f"ocs-bench-{cores}")
         .config("spark.sql.shuffle.partitions", str(max(32, 2 * cores)))
         .config("spark.sql.adaptive.enabled", "true")
+        # start every shuffle wide and let AQE coalesce per stage: with
+        # the static 64 the heavy hash-aggs are under-parallelized while
+        # small stages are already AQE-coalesced — measured (interleaved
+        # min-of-3, sf0.1): jaccard 6.52→4.42, span_dedup 3.21→1.08,
+        # decontaminate 2.20→1.03, dsir 5.24→2.96, anchor 2.73→1.48,
+        # minhash 4.16→3.98; 512 over-shoots (minhash 5.34).  BENCH.md.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                "256")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
