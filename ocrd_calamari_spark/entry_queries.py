@@ -446,6 +446,124 @@ SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents
 """
 
 
+# shared literals for the injected foreign paragraphs — both engines
+# embed THESE strings (soft-404-template discipline); each is dense in
+# its language's lang_id marker words
+_MIX_DE = ("Der Hund und die Katze ist der Freund und der Nachbar"
+           " und die Idee ist der Anfang.")
+_MIX_FR = ("Le chat et les amis est le debut des histoires et le reve"
+           " est le chemin des idees.")
+
+
+def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-mixing report: paragraphs are lang-id'd
+    independently (the shared marker heuristic, functions/text.py:
+    lang_id_sql) and each doc reports paragraph count, distinct real
+    languages, the dominant language and its basis-point share — the
+    monolingual-curation screen (a doc-level lang label hides embedded
+    foreign paragraphs; mixed docs poison per-language mixture budgets
+    and n-gram LMs).  Foreign paragraphs are injected deterministically
+    (every 11th ≡ 4 German, ≡ 8 French).  Scale shape: paragraph
+    explode collapses map-side to (doc, lang, count) — fan-in per doc
+    is its paragraph count; the dominance window runs over (doc, ≤4
+    langs) groups; exact integer share math."""
+    from ocrd_calamari_spark.functions.text import lang_id_sql
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eff = (
+        F.when(
+            F.col("doc_id") % 11 == 4,
+            F.concat(F.col("text"), F.lit("\n" + _MIX_DE)),
+        )
+        .when(
+            F.col("doc_id") % 11 == 8,
+            F.concat(F.col("text"), F.lit("\n" + _MIX_FR)),
+        )
+        .otherwise(F.col("text"))
+    )
+    paras = (
+        d.select("doc_id", F.explode(F.split(eff, "\n")).alias("para"))
+        .where(F.length("para") > 0)
+    )
+    cnts = (
+        paras.select(
+            "doc_id",
+            F.expr(lang_id_sql("para")).alias("plang"),
+        )
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_paras"),
+        F.count(F.when(F.col("plang") != "und", True))
+        .cast("long")
+        .alias("n_langs"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), "plang")
+    dom = (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("plang").alias("dominant_lang"),
+            F.col("c").alias("_dc"),
+        )
+    )
+    return (
+        tot.join(dom, "doc_id")
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_langs",
+            "dominant_lang",
+            F.expr("div(_dc * 10000, n_paras)").alias("dominant_bp"),
+            (F.col("n_langs") >= 2).alias("is_mixed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_mix_sql() -> str:
+    from ocrd_calamari_spark.functions.text import lang_id_sql
+
+    return f"""
+WITH eff AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 4 THEN text || chr(10) || '{_MIX_DE}'
+              WHEN doc_id % 11 = 8 THEN text || chr(10) || '{_MIX_FR}'
+              ELSE text END AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS para FROM eff
+), det AS (
+  SELECT doc_id, {lang_id_sql('para')} AS plang
+  FROM paras WHERE length(para) > 0
+), cnts AS (
+  SELECT doc_id, plang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM det GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_paras,
+         CAST(SUM(CASE WHEN plang <> 'und' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_langs
+  FROM cnts GROUP BY doc_id
+), dom AS (
+  SELECT doc_id, plang AS dominant_lang, c AS dc FROM (
+    SELECT doc_id, plang, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, plang) AS rn
+    FROM cnts
+  ) WHERE rn = 1
+)
+SELECT t.doc_id, t.n_paras, t.n_langs, d.dominant_lang,
+       (d.dc * 10000) // t.n_paras AS dominant_bp,
+       t.n_langs >= 2 AS is_mixed
+FROM tot t JOIN dom d USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+LANG_MIX_SQL = _lang_mix_sql()
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session counting via lag + gap flags (the stateful-streaming shape,
     run in batch)."""
@@ -6509,6 +6627,7 @@ QUERIES = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "minhash_recall": q_minhash_recall,
     "clean_pipeline": q_clean_pipeline,
+    "lang_mix": q_lang_mix,
 }
 
 ORACLES = {
@@ -6519,6 +6638,7 @@ ORACLES = {
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "minhash_recall": MINHASH_RECALL_SQL,
     "clean_pipeline": CLEAN_PIPELINE_SQL,
+    "lang_mix": LANG_MIX_SQL,
     "global_shuffle": GLOBAL_SHUFFLE_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
