@@ -83,6 +83,7 @@ HEADLINE = [
     "mojibake_detect",
     "tokenizer_fertility",
     "clean_pipeline",
+    "lang_mix",
 ]
 
 

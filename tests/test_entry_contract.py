@@ -18,7 +18,7 @@ FAST_ORACLED = ["filter_project", "topk_per_lang", "join_revenue",
                 "quality_classifier", "lm_quality", "crawl_depth",
                 "snapshot_diff", "latest_snapshot", "normalized_dedup",
                 "soft404_filter", "mojibake_detect", "clean_pipeline",
-                "global_shuffle", "vocab_coverage",
+                "lang_mix", "global_shuffle", "vocab_coverage",
                 "paragraph_dedup", "bpe_encode", "exact_sample"]
 
 
