@@ -33,7 +33,54 @@ from ocrd_calamari_spark.pipeline import extract_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Scan-parallelism floor (guide §6): each fixture table is ONE parquet
+    # file, so at the default 128 MB maxPartitionBytes every map stage
+    # before the first exchange runs on ≤2 scan splits — measured 29 s of
+    # trigram shingling on 2 of 32 cores in jaccard_dedup at sf1.0.  The
+    # floor derives from the session's core count (never a constant), and
+    # at production scale — thousands of splits — it is a no-op: Spark
+    # takes max(bytes/minPartitionNum, openCost) capped by
+    # maxPartitionBytes, so it can only SPLIT small inputs finer, never
+    # coarsen large ones.
+    spark.conf.set(
+        "spark.sql.files.minPartitionNum",
+        str(2 * spark.sparkContext.defaultParallelism),
+    )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tw(spark: SparkSession, sf_dir: str, name: str = "documents") -> DataFrame:
+    """``_t`` plus an up-front hash repartition on doc_id.
+
+    The fixture table is ONE small parquet file; even under the
+    minPartitionNum floor, openCostInBytes floors the split size, so the
+    5.9 MB documents file still scans as ~2 splits — and every heavy
+    per-row map (explode + md5/xxhash per gram) before the first exchange
+    then runs on 2 of N cores (measured: dsir_weights 14.1 s isolated at
+    sf1.0, almost all in the 2-task scan stage).  The narrow-input
+    exchange costs ~25 MB; at production scale the scan has thousands of
+    splits and this repartition is a no-op-grade overhead (same pattern
+    as _with_injected_dups, CLAUDE.md round-4 note)."""
+    return _t(spark, sf_dir, name).repartition(
+        4 * spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
+def _psort(df: DataFrame, *cols) -> DataFrame:
+    """Presentation total-order sort WITHOUT the range-exchange sampling
+    pass.
+
+    ``orderBy`` plans a rangepartitioning Exchange whose RangePartitioner
+    must first SAMPLE the child RDD to pick boundaries — a separate job
+    that re-executes everything above the last materialized shuffle
+    (measured on jaccard_dedup at sf1.0: the 114M-row final aggregation
+    ran twice, 36 s + 23 s — event-log stages 24/28, guide §1.1/§7.2).
+    Registry outputs are presentation-sized (≤ ~10^5 rows at any bench
+    SF), so shuffling the RESULT to one partition and sorting it there
+    yields the identical totally-ordered output with one execution and
+    no sampling job.  At production scale these presentation sorts are
+    not part of the pipeline at all (callers consume unordered)."""
+    return df.repartition(1).sortWithinPartitions(*cols)
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +208,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_sq").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
         F.round(F.col("_sbp").cast("double") / F.col("count_order"), 4).alias("avg_price"),
         "count_order",
-    ).orderBy("l_returnflag", "l_linestatus")
+    ).transform(_psort, "l_returnflag", "l_linestatus")
 
 
 Q1_SQL = """
@@ -325,7 +372,7 @@ def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
             F.count("*").alias("n_orders"),
         )
-        .orderBy("c_mktsegment")
+        .transform(_psort, "c_mktsegment")
     )
 
 
@@ -435,7 +482,7 @@ SELECT doc_id, {quality_score_sql('text')} AS quality FROM documents
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.expr(lang_id_sql("text")).alias("lang_pred")
     )
@@ -469,7 +516,7 @@ def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs) groups; exact integer share math."""
     from ocrd_calamari_spark.functions.text import lang_id_sql
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tw(spark, sf_dir, "documents").select("doc_id", "text")
     eff = (
         F.when(
             F.col("doc_id") % 11 == 4,
@@ -519,7 +566,7 @@ def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("div(_dc * 10000, n_paras)").alias("dominant_bp"),
             (F.col("n_langs") >= 2).alias("is_mixed"),
         )
-        .orderBy("doc_id")
+        .transform(_psort, "doc_id")
     )
 
 
@@ -581,7 +628,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flagged.groupBy("user_id")
         .agg((F.sum("brk") + 1).cast("bigint").alias("n_sessions"))
-        .orderBy("user_id")
+        .transform(_psort, "user_id")
     )
 
 
@@ -702,7 +749,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(jaccard * 1e4 + 5e-1) / 1e4 as double)").alias(
             "jaccard"
         ),
-    ).orderBy("id_a", "id_b")
+    ).transform(_psort, "id_a", "id_b")
 
 
 MINHASH_SQL = r"""
@@ -952,7 +999,7 @@ def q_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _with_injected_dups(spark, sf_dir)
     out = jaccard_index_dedup(corpus, threshold=0.5, shingle_k=3)
-    return out.orderBy("id_a", "id_b")
+    return out.transform(_psort, "id_a", "id_b")
 
 
 JACCARD_DEDUP_SQL = r"""
@@ -991,6 +1038,10 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = simhash_near_dupes(
         corpus, max_hamming=3, token_hash=PORTABLE_TOKEN_HASH_SQL
     )
+    # NOT _psort: the sf1.0 pair output is 27.4M rows — a single-partition
+    # presentation sort measured 62 s vs 9 s for the distributed range
+    # sort (whose resampled segment above the distinct's exchange is
+    # cheap here).  _psort is for presentation-sized outputs only.
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     ).orderBy("id_a", "id_b")
@@ -1688,7 +1739,7 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", "n_grams", "n_distinct_grams",
         "top_gram_count", quant("dup_ngram_frac"), quant("top_ngram_frac"),
-    ).orderBy("doc_id")
+    ).transform(_psort, "doc_id")
 
 
 REPETITION_SQL = """
@@ -1752,7 +1803,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = decontaminate(corpus, benchmark, "doc_id", "text", n=8)
-    return out.select("doc_id", "n_leaked_ngrams", "contaminated").orderBy(
+    return out.select("doc_id", "n_leaked_ngrams", "contaminated").transform(_psort, 
         "doc_id"
     )
 
@@ -2073,7 +2124,7 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.catalog.clearCache()`` after consuming the result — the
     bench / oracle harnesses do (same contract as minhash_dedup,
     embedding_near_dupes and pagerank)."""
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir, pre_partitions=4 * spark.sparkContext.defaultParallelism)
     anchors = pages.select(
         "url",
         _page_host().alias("_host"),
@@ -2120,7 +2171,7 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(top, "target").select(
         "target", "n_anchors", "n_src_pages", "n_texts",
         "top_anchor", "top_anchor_n",
-    ).orderBy("target")
+    ).transform(_psort, "target")
 
 
 def _anchor_text_sql() -> str:
@@ -2332,7 +2383,7 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice (df pass ships only hashes), which is the CCNet lower bound."""
     from ocrd_calamari_spark.functions.text import strip_boilerplate_lines
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tw(spark, sf_dir, "documents").select("doc_id", "text")
     dom = F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0")
     page_text = F.concat(
         F.lit("Welcome to host"), dom, F.lit("\n"),
@@ -2343,7 +2394,7 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.select(
         "doc_id", dom.alias("domain"), page_text.alias("text")
     )
-    return strip_boilerplate_lines(corpus).orderBy("doc_id")
+    return strip_boilerplate_lines(corpus).transform(_psort, "doc_id")
 
 
 BOILERPLATE_LINES_SQL = r"""
@@ -2582,7 +2633,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(last_tok / seq).cast("long").alias("seq_last"),
         (F.floor(last_tok / seq) - F.floor(F.col("_start_offset") / seq) + 1)
         .cast("long").alias("n_seqs"),
-    ).orderBy("doc_id")
+    ).transform(_psort, "doc_id")
 
 
 def _pack_sequences_sql() -> str:
@@ -2830,7 +2881,7 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^12 rows: (doc, token, tf) pairs to the DF aggregation and one
     broadcast of the (small) vocabulary DF table back; the per-doc top-k
     is a window over doc_id."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tw(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = d.count()
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
@@ -2858,7 +2909,7 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(floor(score * 1e6 + 5e-1) / 1e6 as double)")
             .alias("score"),
         )
-        .orderBy("doc_id", "rank")
+        .transform(_psort, "doc_id", "rank")
     )
 
 
@@ -3264,7 +3315,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure map + alphabet-sized aggregation; TakeOrdered top-k."""
     from ocrd_calamari_spark.functions.text import bpe_pair_counts
 
-    return bpe_pair_counts(_t(spark, sf_dir, "documents"))
+    return bpe_pair_counts(_tw(spark, sf_dir, "documents"))
 
 
 BPE_PAIR_SQL = r"""
@@ -3446,7 +3497,7 @@ def q_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, hence partitioning-invariant AND hash-exact)."""
     from ocrd_calamari_spark.functions.text import domain_divergence
 
-    return domain_divergence(_t(spark, sf_dir, "documents"))
+    return domain_divergence(_tw(spark, sf_dir, "documents"))
 
 
 DOMAIN_DIVERGENCE_SQL = r"""
@@ -3723,10 +3774,11 @@ def q_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale — same Zipf argument as jaccard's max_df)."""
     from ocrd_calamari_spark.functions.dedup import tf_cosine_join
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     out = tf_cosine_join(
         d, "doc_id", "text", threshold_pct=60, max_df_frac=0.2
     )
+    # NOT _psort: 3.1M output pairs at sf1.0 — keep the distributed sort
     return out.orderBy("id_a", "id_b")
 
 
@@ -3804,8 +3856,8 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     -proxy filter in quantized-integer form, hash-exact vs DuckDB."""
     from ocrd_calamari_spark.functions.text import bigram_lm_scores
 
-    d = _t(spark, sf_dir, "documents")
-    return bigram_lm_scores(d, "doc_id", "text").orderBy("id")
+    d = _tw(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "doc_id", "text").transform(_psort, "id")
 
 
 LM_QUALITY_SQL = """
@@ -3848,8 +3900,8 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows and the broadcast <=1024-row bucket-weight table move."""
     from ocrd_calamari_spark.functions.selection import importance_weights
 
-    d = _t(spark, sf_dir, "documents")
-    return importance_weights(d, "lang = 'en'").orderBy("doc_id")
+    d = _tw(spark, sf_dir, "documents")
+    return importance_weights(d, "lang = 'en'").transform(_psort, "doc_id")
 
 
 DSIR_WEIGHTS_SQL = """
@@ -4258,7 +4310,7 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact."""
     from ocrd_calamari_spark.functions.text import cooccurrence_pmi
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return cooccurrence_pmi(d, "text", window=2, min_count=5, top_k=50)
 
 
@@ -4687,7 +4739,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_frac"),
         (F.col("n_dup_windows").cast("double") / F.col("n_windows") >= 0.5)
         .alias("mostly_duplicated"),
-    ).orderBy("doc_id")
+    ).transform(_psort, "doc_id")
 
 
 SPAN_DEDUP_SQL = r"""
@@ -5767,7 +5819,7 @@ def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     read the staged projection (two scans of the source — at corpus
     scale persist the staged frame instead if the storage tier makes
     re-scan the costlier side; both are row-local-cheap)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = _tw(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     variants = d.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         "lang",
@@ -5877,7 +5929,7 @@ def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "kept_tokens"
             ),
         )
-        .orderBy("lang")
+        .transform(_psort, "lang")
     )
 
 
@@ -5965,7 +6017,7 @@ def q_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocrd_calamari_spark.functions.text import (
         _MOJI_REPL, mojibake_scores)
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tw(spark, sf_dir, "documents").select("doc_id", "text")
     eff = (
         F.when(
             F.col("doc_id") % 19 == 3,
@@ -5983,7 +6035,7 @@ def q_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("text"))
     )
-    return mojibake_scores(d.select("doc_id", eff.alias("text"))).orderBy(
+    return mojibake_scores(d.select("doc_id", eff.alias("text"))).transform(_psort, 
         "doc_id"
     )
 
@@ -6151,7 +6203,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire exactly twice, the same CCNet lower bound as boilerplate_lines;
     the rank ships (hash, doc, idx) and is a streaming row_number, never
     a buffered aggregate."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _tw(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.select(
         "doc_id",
         F.concat(
@@ -6163,7 +6215,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ocrd_calamari_spark.functions.text import dedup_paragraphs_global
 
-    return dedup_paragraphs_global(corpus).orderBy("doc_id")
+    return dedup_paragraphs_global(corpus).transform(_psort, "doc_id")
 
 
 PARAGRAPH_DEDUP_SQL = """
@@ -6218,7 +6270,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("merge_rank")
         .collect()  # bounded: exactly n_merges rows
     ]
-    return bpe_encode_counts(docs, merges).orderBy("doc_id")
+    return bpe_encode_counts(docs, merges).transform(_psort, "doc_id")
 
 
 def _bpe_encode_sql(n_merges: int = 8) -> str:
@@ -6357,7 +6409,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab join; the per-lang rollup shuffles ≤ |langs| rows."""
     from ocrd_calamari_spark.functions.text import bpe_encode_counts
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     enc = bpe_encode_counts(docs, FROZEN_MERGES)
     return (
         enc.join(docs.select("doc_id", "lang"), "doc_id")
@@ -6377,7 +6429,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_words").cast("double")
             ).alias("fertility"),
         )
-        .orderBy("lang")
+        .transform(_psort, "lang")
     )
 
 

@@ -574,6 +574,96 @@ def minhash_recall_audit(
     )
 
 
+def _jaccard_packed_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int,
+) -> DataFrame:
+    """Fast path of ``jaccard_index_dedup`` for the exact (no max_df, no
+    prefix-filter) configuration — same output, restructured per the
+    r06 measurement (event-log stages, sf1.0: 59.7 s isolated):
+
+    - **(id, set-size) packed into one long** (``id<<32 | n``): the pair
+      aggregation keys on the two packed longs, so per-doc sizes ride the
+      16-byte group key for free and the two post-aggregation size joins
+      of the general path (2 × 114M broadcast probes at sf1.0) disappear.
+      Precondition 0 ≤ id < 2^31, enforced with an in-plan raise_error
+      branch (an id space wider than 31 bits — 10^12-doc corpora — swaps
+      the pack for a (id, n) struct; one-line change, same plan shape).
+    - **explode_outer + explicit IS NOT NULL** instead of explode: the
+      inferred ``size(sh) > 0`` filter of a bare explode is pushed below
+      the corpus repartition onto the ≤2-split parquet scan and
+      re-evaluates the full shingling expression there — measured 29 s
+      on 2 of 32 cores (guide §4.4's duplicated-evaluation trap, filter
+      flavor).  The arrays here are never empty (greatest(n-k+1, 1)), so
+      outer ≡ inner; the residual null-g filter keeps null-text docs out
+      of the postings exactly as explode did.
+    - **Lossless size-ratio prune in the join condition**: a pair can
+      only reach jaccard ≥ t if min(n_a,n_b) ≥ t·max(n_a,n_b) (best case
+      inter = min, union = max), so sub-ratio pairs are dropped BEFORE
+      the pair shuffle; the epsilon relaxation only ever keeps more.
+    - **Explicit pair repartition (8 × defaultParallelism) under the
+      aggregation**: AQE's parallelism-first coalescing targets
+      defaultParallelism-many partitions, which at sf1.0 put 3.3M groups
+      in each of 35 tasks — 10.4 GB of hash-agg spill and 52 s of GC per
+      pass.  The pair stream repartitions by the group key into
+      core-count-scaled partitions instead (REPARTITION_BY_NUM is exempt
+      from AQE coalescing), shuffling raw 16-byte pairs (map-side partial
+      aggregation only reduced 127M → 114.5M rows — 1.11× — so skipping
+      it costs nothing).
+    """
+    spark = df.sparkSession
+    mask32 = F.lit(4294967295)
+    sh = shingle_table(df, id_col, text_col, shingle_k)
+    p = F.expr(
+        f"CASE WHEN {id_col} >= 0 AND {id_col} < 2147483648 "
+        f"THEN shiftleft({id_col}, 32) + size(sh) "
+        "ELSE CAST(raise_error('jaccard packed path requires "
+        "0 <= id < 2^31') AS BIGINT) END"
+    )
+    postings = (
+        sh.select(p.alias("p"), F.explode_outer("sh").alias("g"))
+        .where(F.col("g").isNotNull())
+        .persist()
+    )
+    a = postings.select(F.col("p").alias("pa"), "g")
+    b = postings.select(F.col("p").alias("pb"), F.col("g").alias("gb"))
+    na = F.col("pa").bitwiseAND(mask32)
+    nb = F.col("pb").bitwiseAND(mask32)
+    prune = (
+        F.least(na, nb).cast("double")
+        >= F.lit(float(threshold)) * F.greatest(na, nb).cast("double")
+        - F.lit(1e-9)
+    )
+    pairs = (
+        a.join(b, (F.col("g") == F.col("gb"))
+               # p orders by (id, n) lexicographically and ids are unique
+               # per shingle group, so pa < pb  ⟺  id_a < id_b
+               & (F.col("pa") < F.col("pb")) & prune)
+        .select("pa", "pb")
+    )
+    n_pair_parts = 8 * spark.sparkContext.defaultParallelism
+    agg = (
+        pairs.repartition(n_pair_parts, "pa", "pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union_n = (
+        F.col("pa").bitwiseAND(mask32) + F.col("pb").bitwiseAND(mask32)
+        - F.col("inter")
+    )
+    out = agg.select(
+        F.shiftrightunsigned("pa", 32).alias("id_a"),
+        F.shiftrightunsigned("pb", 32).alias("id_b"),
+        "inter",
+        union_n.alias("union_n"),
+        (F.col("inter") / union_n).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+    return out
+
+
 def jaccard_index_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -605,6 +695,9 @@ def jaccard_index_dedup(
     rare-shingle similarity, blind to similarity carried only by
     ubiquitous n-grams.  Default ``None`` = fully exact.
     """
+    if max_df is None and not prefix_filter:
+        return _jaccard_packed_join(df, id_col, text_col, threshold,
+                                    shingle_k)
     postings = (
         shingle_table(df, id_col, text_col, shingle_k)
         .select(F.col(id_col), F.explode("sh").alias("g"))

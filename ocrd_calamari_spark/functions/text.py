@@ -599,7 +599,9 @@ def domain_divergence(df, domain_col: str = "source",
                 "cast(1e0 + cast(sum(q) as double) / 1e12 as double)"
             ).alias("chi2")
         )
-        .orderBy("domain")
+        # single-partition presentation sort: orderBy's range exchange
+        # would re-execute the aggregation for boundary sampling
+        .repartition(1).sortWithinPartitions("domain")
     )
 
 

@@ -40,6 +40,39 @@ CHANGED_SINCE_GREEN: tuple[str, ...] = (
     # after bpe_train's last green row (bpe_encode shares the change but
     # has never been driver-checked, so it auto-fronts already)
     "bpe_train",
+    # round-6 optimization pass: the packed-key counting-join rewrite of
+    # jaccard_index_dedup (functions/dedup.py:_jaccard_packed_join)
+    # changes the physical computation of every consumer
+    "jaccard_dedup",
+    "leakage_safe_split",
+    "effective_tokens",
+    "keep_best_dedup",
+    # round-6: single-partition presentation sort (_psort) + up-front
+    # input spreading (_tw) landed in these after their last green row
+    "q1_pricing_summary",
+    "join_revenue",
+    "sessionize",
+    "repetition_quality",
+    "decontaminate",
+    "pack_sequences",
+    "span_dedup",
+    "boilerplate_lines",
+    "anchor_text",
+    "tfidf_keywords",
+    "minhash_dedup",
+    "sparse_cosine_join",
+    "lm_quality",
+    "paragraph_dedup",
+    "bpe_encode",
+    "dsir_weights",
+    "mojibake_detect",
+    "tokenizer_fertility",
+    "clean_pipeline",
+    "lang_mix",
+    "lang_id",
+    "domain_divergence",
+    "bpe_pair_counts",
+    "pmi_pairs",
 )
 
 _ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -449,14 +449,17 @@ class TestRound4LateOpPlans:
 
     def test_mojibake_is_pure_map(self, spark):
         """Encoding-damage screen is row-local: no aggregation, no join;
-        the only exchange is the presentation orderBy's range partition;
+        the only exchanges are the narrow input-spreading repartition
+        (the fixture is a 1-file scan, r06) and the single-partition
+        presentation sort (_psort — no rangepartitioning resample);
         the three marker counts run in codegen, not Python."""
         from ocrd_calamari_spark.entry_queries import q_mojibake_detect
 
         plan = plan_of(q_mojibake_detect(spark, SF), "simple")
         assert "HashAggregate" not in plan
         assert "Join" not in plan
-        assert plan.count("Exchange") == 1  # orderBy only
+        assert plan.count("Exchange") == 2  # input spread + _psort only
+        assert "rangepartitioning" not in plan
         assert "Python" not in plan
 
     def test_tokenizer_fertility_aggs_are_partial(self, spark):
