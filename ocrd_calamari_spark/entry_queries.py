@@ -1681,10 +1681,19 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     all JVM-side; the per-example preprocessing step before tokenization."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     tokens = F.split(F.col("text"), " ")
-    n = F.size(tokens)
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(48))
-    chunks = F.transform(
-        starts, lambda s: F.concat_ws(" ", F.slice(tokens, s, 64))
+    # token array bound as a lambda variable — inlining `tokens` in the
+    # per-chunk lambda re-splits the text once per chunk (see
+    # dedup.word_shingles, r06)
+    chunks = F.element_at(
+        F.transform(
+            F.array(tokens),
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)),
+                           F.lit(48)),
+                lambda s: F.concat_ws(" ", F.slice(t, s, 64)),
+            ),
+        ),
+        1,
     )
     out = d.select(
         "doc_id", F.posexplode(chunks).alias("chunk_no", "chunk_text")
@@ -6263,7 +6272,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocrd_calamari_spark.functions.text import (
         bpe_encode_counts, bpe_train_merges)
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     merges = [
         (r["lhs"], r["rhs"])
         for r in bpe_train_merges(docs, n_merges=8)

@@ -120,14 +120,24 @@ def normalized_duplicates(df: DataFrame, id_col: str = "doc_id",
 # Shingling + MinHash signatures — pure higher-order functions.
 # ---------------------------------------------------------------------------
 def word_shingles(text_col, k: int = 3):
-    """Array of k-word shingles (hashed to i64 so only 8B/shingle moves)."""
+    """Array of k-word shingles (hashed to i64 so only 8B/shingle moves).
+
+    The token array is BOUND as a lambda variable via a single-element
+    outer transform: the naive form embeds the split() tree inside the
+    per-shingle lambda, so every shingle re-tokenizes the document —
+    O(len²) per row, measured as 120 core-seconds of the jaccard posting
+    build at sf1.0 (r06).  A lambda variable is evaluated once per row.
+    """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(F.trim(F.lower(c)), r"\s+")
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, k)))
-    )
+
+    def _shingles(t):
+        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - k + 1, F.lit(1)))
+        return F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, k)))
+        )
+
+    return F.element_at(F.transform(F.array(tokens), _shingles), 1)
 
 
 def minhash_signature(shingles_col, n_hashes: int = 64):
@@ -151,6 +161,34 @@ def minhash_signature(shingles_col, n_hashes: int = 64):
             F.expr(f"sequence(0, {n_hashes - 1})"),
             lambda m, j: F.least(m, F.xxhash64(s, j)),
         ),
+    )
+
+
+def _minhash_sig_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(id, sig) signature table for the banded-LSH paths.
+
+    Kept as the single-pass ``minhash_signature`` fold: an r06 A/B at
+    sf1.0 measured the fold at 1.7 s isolated (after the word_shingles
+    lambda-binding fix) vs 2.4 s for an exploded 64-column
+    ``min(xxhash64(g, j))`` codegen aggregate and 3.0 s for a
+    (id, seed)-exploded groupBy — the interpreted-HOF overhead is
+    smaller than an extra aggregation pass once the shingle input is no
+    longer re-tokenized per element.  (The naive per-seed
+    ``array_min(transform(...))`` form measured 86.8 s — Catalyst
+    re-evaluates the shingle expression per seed; see
+    minhash_signature's docstring.)
+    """
+    return df.select(
+        F.col(id_col),
+        minhash_signature(
+            word_shingles(text_col, shingle_k), n_hashes
+        ).alias("sig"),
     )
 
 
@@ -179,12 +217,7 @@ def minhash_lsh_candidates(
     4e-10 at ≥1; both are «1/pairs).  Default 1 preserves the classic
     any-band OR semantics."""
     banded = _banded_keys(
-        df.select(
-            F.col(id_col),
-            minhash_signature(
-                word_shingles(text_col, shingle_k), n_hashes
-            ).alias("sig"),
-        ),
+        _minhash_sig_table(df, id_col, text_col, n_hashes, shingle_k),
         id_col, n_hashes, bands,
     )
     # The self-join references banded twice; cache it so the expensive
@@ -362,12 +395,7 @@ def minhash_band_index(
     inline by ``minhash_lsh_candidates``.
     """
     return _banded_keys(
-        df.select(
-            F.col(id_col),
-            minhash_signature(
-                word_shingles(text_col, shingle_k), n_hashes
-            ).alias("sig"),
-        ),
+        _minhash_sig_table(df, id_col, text_col, n_hashes, shingle_k),
         id_col, n_hashes, bands,
     )
 
@@ -476,16 +504,22 @@ def minhash_recall_audit(
     """
     rows = n_hashes // bands
     tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    n_tok = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n_tok - shingle_k + 1, F.lit(1)))
-    sh = F.array_distinct(
-        F.transform(
+
+    # token array bound as a lambda variable — inlining `tokens` in the
+    # per-shingle lambda re-splits the text once per shingle (see
+    # word_shingles, r06)
+    def _sh(t):
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(t) - shingle_k + 1, F.lit(1))
+        )
+        return F.transform(
             idx,
             lambda i: _portable_hash(
-                F.concat_ws(" ", F.slice(tokens, i, shingle_k))
+                F.concat_ws(" ", F.slice(t, i, shingle_k))
             ),
         )
-    )
+
+    sh = F.array_distinct(F.element_at(F.transform(F.array(tokens), _sh), 1))
     # one cached compact table feeds sizes, postings, and signatures
     shdf = df.select(F.col(id_col), sh.alias("sh")).persist()
 
@@ -623,6 +657,9 @@ def _jaccard_packed_join(
         "ELSE CAST(raise_error('jaccard packed path requires "
         "0 <= id < 2^31') AS BIGINT) END"
     )
+    # persist: the self-join reads postings twice; an A/B at sf1.0
+    # measured 9.2 s cached vs 13.1 s recomputed (the broadcast build
+    # side re-derives the whole shingle pass without the cache)
     postings = (
         sh.select(p.alias("p"), F.explode_outer("sh").alias("g"))
         .where(F.col("g").isNotNull())
@@ -1265,12 +1302,27 @@ def simhash_near_dupes(df: DataFrame, id_col: str = "doc_id",
     # 16-bit chunk), and a join spreads the per-bucket quadratic work
     # across tasks instead of building O(bucket²) arrays in single rows.
     l, r = chunks.alias("l"), chunks.alias("r")
+    # exactly-once emission (r06): a pair sharing k chunks used to be
+    # emitted k times and collapsed by a .distinct() — two extra
+    # aggregation passes over the 27.4M-row pair stream at sf1.0, plus
+    # the orderBy resample re-running the final distinct.  The
+    # first-shared-chunk residual (no EARLIER chunk equal, evaluated
+    # from the two sigs already carried by the join) emits each
+    # qualifying pair exactly once, so the distinct disappears; both
+    # sigs are in hand, so it costs a ≤3-element exists() per matched
+    # row.
+    first_match = F.expr(
+        "l.chunk_no = 0 OR NOT exists(sequence(0, l.chunk_no - 1), "
+        "c -> (shiftright(l.sig, c * 16) & 65535) = "
+        "(shiftright(r.sig, c * 16) & 65535))"
+    )
     return (
         l.join(
             r,
             (F.col("l.chunk_no") == F.col("r.chunk_no"))
             & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & first_match,
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
@@ -1280,7 +1332,15 @@ def simhash_near_dupes(df: DataFrame, id_col: str = "doc_id",
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
+        # materialize an exchange below the caller's presentation
+        # orderBy: with the distinct gone, the range sort's sampling
+        # pass would otherwise re-execute the whole chunk join (guide
+        # §7.2); a hash repartition of the compact pair rows gives the
+        # sampler shuffle files to re-read instead
+        .repartition(
+            8 * df.sparkSession.sparkContext.defaultParallelism,
+            "id_a", "id_b",
+        )
     )
 
 

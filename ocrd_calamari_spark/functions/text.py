@@ -143,8 +143,16 @@ def word_ngrams(col, n: int = 2) -> Column:
     as the shingle helpers."""
     c = F.col(col) if isinstance(col, str) else col
     tokens = F.split(c, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - n + 1, F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+
+    # bind the token array as a lambda variable (single-element outer
+    # transform): inlining `tokens` in the per-gram lambda re-splits the
+    # document once PER GRAM — O(len²) per row (same fix as
+    # dedup.word_shingles, r06)
+    def _grams(t):
+        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - n + 1, F.lit(1)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+    return F.element_at(F.transform(F.array(tokens), _grams), 1)
 
 
 def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text",
@@ -269,13 +277,22 @@ def rolling_fingerprints(col, window: int = 8,
     """
     c = F.col(col) if isinstance(col, str) else col
     tokens = F.split(F.trim(c), r"\s+")
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
     if token_hash is None:
-        return F.transform(
-            idx,
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, window))),
-        )
+        # token array bound as a lambda variable — inlining `tokens` in
+        # the per-shingle lambda re-splits the text once per shingle
+        # (see word_shingles, r06)
+        def _fp(t):
+            idx = F.sequence(
+                F.lit(1), F.greatest(F.size(t) - window + 1, F.lit(1))
+            )
+            return F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(t, i, window))
+                ),
+            )
+
+        return F.element_at(F.transform(F.array(tokens), _fp), 1)
     # portable path: whole pipeline as one SQL expression so the hash
     # template can wrap the shingle string ('\\s+' in SQL source = \s+).
     # The column must be a NAME here (it is spliced into SQL text).
@@ -284,11 +301,15 @@ def rolling_fingerprints(col, window: int = 8,
             "rolling_fingerprints(token_hash=...) requires a column NAME; "
             "got a Column object"
         )
+    # token array bound as a lambda variable (single-element outer
+    # transform) — inlining the split() text per element re-splits the
+    # document once per window (same fix as the xxhash64 path above)
     toks = f"split(trim(`{col}`), '\\\\s+')"
-    shingle = f"concat_ws(' ', slice({toks}, i, {window}))"
+    shingle = f"concat_ws(' ', slice(t, i, {window}))"
     return F.expr(
-        f"transform(sequence(1, greatest(size({toks}) - {window} + 1, 1)), "
-        f"i -> {token_hash.format(t=shingle)})"
+        f"element_at(transform(array({toks}), t -> "
+        f"transform(sequence(1, greatest(size(t) - {window} + 1, 1)), "
+        f"i -> {token_hash.format(t=shingle)})), 1)"
     )
 
 
