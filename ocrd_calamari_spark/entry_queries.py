@@ -711,11 +711,7 @@ def _with_injected_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an up-front repartition every per-document stage (shingling, minhash
     # fold, simhash fold) serializes onto a single core.  At production
     # scale the corpus arrives pre-split; this mirrors that shape.
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(4 * spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dups = (
         d.where(F.col("doc_id") < 40)
         .select(
@@ -723,7 +719,15 @@ def _with_injected_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
         )
     )
-    return d.unionByName(dups)
+    # repartition AFTER the union (r06): repartitioning the base before
+    # it gave 128 + 128 = 256 non-coalescible partitions to every
+    # downstream stage of every dedup query — the minhash event log
+    # showed ~11 near-empty 256/512-task stages whose only cost was task
+    # scheduling (~2 ms × thousands of tasks).  One post-union exchange
+    # halves every stage's task count at identical spreading.
+    return d.unionByName(dups).repartition(
+        4 * spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -657,13 +657,16 @@ def _jaccard_packed_join(
         "ELSE CAST(raise_error('jaccard packed path requires "
         "0 <= id < 2^31') AS BIGINT) END"
     )
-    # persist: the self-join reads postings twice; an A/B at sf1.0
-    # measured 9.2 s cached vs 13.1 s recomputed (the broadcast build
-    # side re-derives the whole shingle pass without the cache)
+    # persist the 50k-row ARRAY table, not the 2.6M-row posting table:
+    # the self-join still reads the shingle pass twice from cache (an
+    # A/B at sf1.0 measured 9.2 s cached vs 13.1 s recomputed), but the
+    # columnar cache build pays per-row machinery — caching before the
+    # explode makes that 50× fewer rows for the same bytes; each side
+    # re-runs only the cheap explode
+    sh = sh.persist()
     postings = (
         sh.select(p.alias("p"), F.explode_outer("sh").alias("g"))
         .where(F.col("g").isNotNull())
-        .persist()
     )
     a = postings.select(F.col("p").alias("pa"), "g")
     b = postings.select(F.col("p").alias("pb"), F.col("g").alias("gb"))
