@@ -46,6 +46,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         "spark.sql.files.minPartitionNum",
         str(2 * spark.sparkContext.defaultParallelism),
     )
+    # InferFiltersFromGenerate synthesizes a `size(arr) > 0` filter under
+    # every explode and predicate-pushdown then sinks it below
+    # repartitions onto the scan — re-evaluating the full gram/shingle
+    # expression on the ≤2 scan splits (measured: 29 s of trigram
+    # shingling on 2 of 32 cores in jaccard_dedup; 2.9 s gram stages in
+    # clean_pipeline).  The inferred filter only pre-drops rows whose
+    # array is empty — explode drops them anyway — so excluding the rule
+    # trades a no-op pruning for not re-running heavy expressions at the
+    # scan; that trade is scale-independent (the duplicated evaluation
+    # costs MORE at larger inputs, never less).
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -671,7 +685,12 @@ FROM events GROUP BY 1, 2
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (similarity-search baseline)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # single-file fixture → spread the per-row scoring map (the 5.9 MB
+    # embeddings file scans as 2 splits; measured 2.4 s of dot products
+    # on 2 of 32 cores at sf1.0)
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        2 * spark.sparkContext.defaultParallelism, "vec_id"
+    )
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
