@@ -520,7 +520,9 @@ def minhash_recall_audit(
         )
 
     sh = F.array_distinct(F.element_at(F.transform(F.array(tokens), _sh), 1))
-    # one cached compact table feeds sizes, postings, and signatures
+    # one cached compact table feeds sizes, postings, and signatures;
+    # lifetime follows the module cache contract (header docstring) —
+    # long-lived drivers clear between jobs, as bench/check_oracles do
     shdf = df.select(F.col(id_col), sh.alias("sh")).persist()
 
     # --- exact truth: counting join on portable shingle hashes ---

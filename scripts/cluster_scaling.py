@@ -46,7 +46,9 @@ from ocrd_calamari_spark.pipeline import extract_df  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "12"))
-TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+# 5 to match bench.py's round-5 protocol (3-pair medians documented as
+# fragile in CLAUDE.md); same env var, same default (r05 ADVICE #3)
+TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
 EXEC_CORES = 2
 LO_EXECS, HI_EXECS = 1, 4
 
@@ -154,6 +156,13 @@ def main() -> dict:
                 remeasures += 1
                 wait_for_quiet_box()
                 re_pair = measure_pair()
+                # gate the re-measured pair the same way first-pass pairs
+                # are gated BEFORE folding it in (r05 ADVICE #2: folding
+                # an ungated re-measure can record cleaner host-state
+                # metadata than the state its timings were taken under)
+                if (re_pair["steal"] > 0.05
+                        or re_pair["membw"] < 0.6 * best_membw):
+                    continue
                 for e in (LO_EXECS, HI_EXECS):
                     pair[e] = max(pair[e], re_pair[e])
                 pair["eff"] = (pair[HI_EXECS] / pair[LO_EXECS]) / (
