@@ -73,6 +73,22 @@ CHANGED_SINCE_GREEN: tuple[str, ...] = (
     "domain_divergence",
     "bpe_pair_counts",
     "pmi_pairs",
+    # round-6 (late audit): the remaining keys whose computation ALSO
+    # changed after their last green row — the lambda-binding fix in
+    # word_shingles / rolling_fingerprints / chunk builders
+    # (functions/text.py, functions/dedup.py), the shared
+    # _minhash_sig_table refactor, simhash's exactly-once pair emission,
+    # cosine_topk's scan spread, and the _with_injected_dups post-union
+    # repartition that feeds the whole dedup family
+    "simhash_dedup",
+    "cosine_topk",
+    "chunk_documents",
+    "rolling_fingerprints",
+    "winnow_fingerprints",
+    "minhash_recall",
+    "incremental_neardup",
+    "dedup_clusters",
+    "containment_join",
 )
 
 _ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
